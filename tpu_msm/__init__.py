@@ -11,13 +11,16 @@ Public API (analogue of `metal_variable_base_msm`, metal_msm.rs:642-695):
     result = tpu_variable_base_msm(points, scalars)   # -> Jacobian int tuple
 """
 
-from .constants import BN254, BLS12_377, CURVES, CurveParams
+from .constants import (BLS12_377, BLS12_377_F12, BN254, BN254_F13, CURVES,
+                        CurveParams)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BN254",
+    "BN254_F13",
     "BLS12_377",
+    "BLS12_377_F12",
     "CURVES",
     "CurveParams",
     "tpu_variable_base_msm",

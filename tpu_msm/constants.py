@@ -200,6 +200,18 @@ class CurveParams:
 # Concrete curves
 # ---------------------------------------------------------------------------
 
+def deferred_carry_headroom(num_limbs: int, log_limb_size: int) -> float:
+    """Safety ratio for the deferred-carry Montgomery multiplier
+    (ops/mont.py mont_mul_deferred): accumulating 2 products per limb per
+    iteration for num_limbs iterations must stay below 2^32. Returns
+    2^32 / worst_case_accumulation; must be > 1 (with margin for the
+    fold-in of the t[0] carry)."""
+    max_prod = ((1 << log_limb_size) - 1) ** 2
+    worst = 2 * num_limbs * max_prod
+    worst += num_limbs * (worst >> log_limb_size)  # c0 fold-ins
+    return (1 << 32) / worst
+
+
 # BN254 (alt_bn128) G1 — the reference's only curve.
 BN254 = CurveParams(
     name="bn254",
@@ -225,4 +237,14 @@ BLS12_377 = CurveParams(
     log_limb_size=16,
 )
 
-CURVES = {c.name: c for c in (BN254, BLS12_377)}
+# Production limb profiles: 13-bit limbs enable the deferred-carry
+# Montgomery multiplier (ops/mont.py mont_mul_deferred) — the limb axis
+# vectorizes with no per-limb carry chains, the TPU-native counterpart of
+# the reference's narrow-limb mont_mul_optimised (mont.metal:24-54).
+BN254_F13 = dataclasses.replace(BN254, name="bn254_f13", num_limbs=20, log_limb_size=13)
+BLS12_377_F12 = dataclasses.replace(BLS12_377, name="bls12_377_f12", num_limbs=32, log_limb_size=12)
+
+assert deferred_carry_headroom(BN254_F13.num_limbs, 13) > 1.5
+assert deferred_carry_headroom(BLS12_377_F12.num_limbs, 12) > 1.5
+
+CURVES = {c.name: c for c in (BN254, BLS12_377, BN254_F13, BLS12_377_F12)}
