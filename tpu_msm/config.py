@@ -1,0 +1,101 @@
+"""MSM pipeline configuration and the static window schedule.
+
+Analogue of the reference's MetalMSMConfig (metal_msm.rs:16-28) plus its
+hardcoded window/scale-factor schedules (metal_msm.rs:661-691), re-cast as
+one dataclass (SURVEY.md §5 "Config": "a single dataclass config (limb
+layout, window schedule, mesh shape) + autotune cache"). All fields are
+static at trace time — one compiled program per (n, config), cached by the
+pipeline (fixing the reference's per-call pipeline rebuild,
+metal_msm.rs:693)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .constants import BN254_S12, CurveParams
+
+
+@dataclasses.dataclass(frozen=True)
+class MSMConfig:
+    """Static parameters of one compiled MSM pipeline.
+
+    window_size (s): signed-window width; num_windows = ceil(scalar_bits/s)
+        and buckets = 2^(s-1) per window exactly as metal_msm.rs:83-85 +
+        smvp.metal:36 (half the columns, thanks to signed digits).
+    columns (C): SMVP column count — the point stream is laid out
+        column-major (R rows x C columns) and reduced by a sequential
+        segmented scan over rows, vectorized over (subtask_group x C).
+    pbpr_threads (T): bucket-reduction split — T slices of consecutive
+        buckets per window, the cuZK Alg.4 m/g split (pbpr.metal:33-96).
+    subtask_group (Wg): windows processed per device pass, bounding peak
+        memory like the reference's 4-subtasks-per-dispatch chunking
+        (metal_msm.rs:458-459).
+    unroll: unrolled (fused) Montgomery muls in the hot scan body; rolled
+        elsewhere for small graphs.
+    dbl_mode: exceptional-case strategy in jac_add ("cond" | "select").
+    """
+
+    curve: CurveParams = BN254_S12
+    window_size: int = 13
+    columns: int = 256
+    pbpr_threads: int = 128
+    subtask_group: int = 4
+    unroll: bool = True
+    dbl_mode: str = "cond"
+
+    def __post_init__(self):
+        s = self.window_size
+        if not (2 <= s <= 16):
+            raise ValueError("window_size must be in [2, 16]")
+        if self.columns & (self.columns - 1):
+            raise ValueError("columns must be a power of two")
+        if self.pbpr_threads & (self.pbpr_threads - 1):
+            raise ValueError("pbpr_threads must be a power of two")
+        B = self.half_columns
+        if self.pbpr_threads > B:
+            raise ValueError("pbpr_threads must divide the bucket count")
+        # top window must not overflow under signed-digit carry
+        top_bits = self.curve.scalar_bits - s * (self.num_windows - 1)
+        if top_bits >= s:
+            raise ValueError("window_size incompatible with scalar width")
+
+    @property
+    def num_windows(self) -> int:
+        """ceil(scalar_bits / s) — num_subtasks in the reference
+        (metal_msm.rs:83-85)."""
+        return -(-self.curve.scalar_bits // self.window_size)
+
+    @property
+    def half_columns(self) -> int:
+        """Buckets per window: 2^(s-1) (signed windows fold the bucket
+        space in half — smvp.metal:36)."""
+        return 1 << (self.window_size - 1)
+
+    @property
+    def num_groups(self) -> int:
+        return -(-self.num_windows // self.subtask_group)
+
+    @property
+    def padded_windows(self) -> int:
+        return self.num_groups * self.subtask_group
+
+
+def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
+    """Static window/shape schedule by input size — the analogue of the
+    reference's size schedule (metal_msm.rs:661-691), seeded from it and
+    retuned for the TPU formulation (see utils/window.py for the cost
+    model and bench/ for measured points)."""
+    if n < (1 << 10):
+        return MSMConfig(curve=curve, window_size=8, columns=32,
+                         pbpr_threads=16, subtask_group=8)
+    if n < (1 << 14):
+        return MSMConfig(curve=curve, window_size=10, columns=64,
+                         pbpr_threads=64, subtask_group=8)
+    if n < (1 << 19):
+        return MSMConfig(curve=curve, window_size=13, columns=256,
+                         pbpr_threads=128, subtask_group=4)
+    if n <= (1 << 22):
+        return MSMConfig(curve=curve, window_size=14, columns=512,
+                         pbpr_threads=256, subtask_group=2)
+    return MSMConfig(curve=curve, window_size=16, columns=1024,
+                     pbpr_threads=512, subtask_group=1)

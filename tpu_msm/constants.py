@@ -244,7 +244,14 @@ BLS12_377 = CurveParams(
 BN254_F13 = dataclasses.replace(BN254, name="bn254_f13", num_limbs=20, log_limb_size=13)
 BLS12_377_F12 = dataclasses.replace(BLS12_377, name="bls12_377_f12", num_limbs=32, log_limb_size=12)
 
+# Signed-lazy production profiles (ops/lazy.py): 12-bit limbs in int32 so
+# transiently-negative limbs from single-op lazy subtraction stay inside
+# the multiplier's accumulation headroom.
+BN254_S12 = dataclasses.replace(BN254, name="bn254_s12", num_limbs=22, log_limb_size=12)
+BLS12_377_S12 = dataclasses.replace(BLS12_377, name="bls12_377_s12", num_limbs=32, log_limb_size=12)
+
 assert deferred_carry_headroom(BN254_F13.num_limbs, 13) > 1.5
 assert deferred_carry_headroom(BLS12_377_F12.num_limbs, 12) > 1.5
 
-CURVES = {c.name: c for c in (BN254, BLS12_377, BN254_F13, BLS12_377_F12)}
+CURVES = {c.name: c for c in (BN254, BLS12_377, BN254_F13, BLS12_377_F12,
+                              BN254_S12, BLS12_377_S12)}

@@ -1,0 +1,172 @@
+"""End-to-end MSM pipeline orchestrator.
+
+Analogue of the reference's MetalMSMPipeline + metal_variable_base_msm
+(metal_msm.rs:74-201, :642-695), with the structural fixes SURVEY.md's
+appendix calls out:
+
+  - the five stages run inside ONE jitted XLA program — no host readback
+    between stages (vs the per-stage round-trips at metal_msm.rs:331-339
+    -> :448-451);
+  - pipelines are cached per MSMConfig and compiled programs per input
+    shape — no per-call pipeline rebuild (vs metal_msm.rs:693);
+  - only the final reduction (Horner over the per-window sums, a few
+    hundred point ops) runs on host, mirroring the reference's CPU stage 5
+    (metal_msm.rs:204-261).
+
+Public entry point: `tpu_variable_base_msm(points, scalars)` — same
+semantics as metal_variable_base_msm (metal_msm.rs:642-695): error on
+empty input, truncate to the shorter of (points, scalars), window size
+from the static schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MSMConfig, default_config
+from ..constants import BN254_S12, CurveParams
+from ..ops.complete import ProjPoint
+from ..reference import curve as ref
+from ..utils.limbs_conversion import (planar_signed_to_ints_modp,
+                                      points_to_planar, scalars_to_planar)
+from . import decompose, pbpr, smvp
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+JacInt = Tuple[int, int, int]
+
+
+def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
+                    *, cfg: MSMConfig) -> ProjPoint:
+    """The full on-device pipeline: convert+decompose -> (sort -> SMVP)
+    per window group -> PBPR. Returns per-window sums, ProjPoint (L, Wp)."""
+    curve = cfg.curve
+    L = curve.num_limbs
+    n = xs.shape[-1]
+    W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
+
+    xm, ym = decompose.points_to_mont(xs, ys, curve, unroll=cfg.unroll)
+    digits = decompose.decompose(halfwords, cfg)  # (W, n)
+    if cfg.padded_windows > W:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((cfg.padded_windows - W, n), I32)], axis=0)
+    dgroups = digits.reshape(G, Wg, n)
+
+    def group_body(_, dg):
+        b = smvp.bucket_accumulate(xm, ym, dg, cfg)
+        return None, (b.x, b.y, b.z)
+
+    _, (bx, by, bz) = jax.lax.scan(group_body, None, dgroups)
+    # (G, L, Wg, B) -> (L, G*Wg, B)
+    B = cfg.half_columns
+    bx = jnp.moveaxis(bx, 0, 1).reshape(L, cfg.padded_windows, B)
+    by = jnp.moveaxis(by, 0, 1).reshape(L, cfg.padded_windows, B)
+    bz = jnp.moveaxis(bz, 0, 1).reshape(L, cfg.padded_windows, B)
+
+    return pbpr.bucket_reduce(ProjPoint(bx, by, bz), cfg)
+
+
+class MSMPipeline:
+    """A reusable compiled MSM pipeline for one MSMConfig.
+
+    Construction is cheap; XLA compilation happens once per input length
+    (jit shape cache + the persistent compilation cache)."""
+
+    def __init__(self, config: MSMConfig):
+        self.config = config
+        self._fn = jax.jit(functools.partial(_windows_device, cfg=config))
+
+    # ---- host-side staging (analogue of stage 0 pack, limbs_conversion.rs
+    # pack_affine_and_scalars :311-378, and the final_reduction host stage,
+    # metal_msm.rs:204-261) ----
+
+    def padded_size(self, n: int) -> int:
+        c = self.config.columns
+        return max(c, -(-n // c) * c)
+
+    def pack(self, points: Sequence[Tuple[int, int]], scalars: Sequence[int]
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Affine int points + int scalars -> padded planar device inputs.
+        Padding lanes carry zero scalars (digit 0 -> discarded)."""
+        cfg = self.config
+        n = len(points)
+        n_pad = self.padded_size(n)
+        xs, ys = points_to_planar(points, cfg.curve)
+        hw = scalars_to_planar(scalars, cfg.curve)
+        # +2 pad halfwords so top-window extraction never reads off the end
+        hw = np.concatenate([hw, np.zeros((2, n), np.uint32)], axis=0)
+        if n_pad > n:
+            pad = ((0, 0), (0, n_pad - n))
+            xs, ys, hw = (np.pad(a, pad) for a in (xs, ys, hw))
+        # coordinates enter the signed-lazy path as int32 canonical limbs
+        return xs.astype(np.int32), ys.astype(np.int32), hw
+
+    def window_sums(self, xs, ys, halfwords) -> List[JacInt]:
+        """Run the device pipeline; decode per-window projective sums to
+        Jacobian int tuples (Montgomery decode + relaxed-limb resolution on
+        host, the role raw_reduction plays for the reference's readbacks,
+        mont_reduction.rs:15-40)."""
+        cfg = self.config
+        c = cfg.curve
+        g = self._fn(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(halfwords))
+        gx = planar_signed_to_ints_modp(np.asarray(g.x), c)
+        gy = planar_signed_to_ints_modp(np.asarray(g.y), c)
+        gz = planar_signed_to_ints_modp(np.asarray(g.z), c)
+        out = []
+        for x, y, z in zip(gx, gy, gz):
+            if z == 0:
+                out.append(ref.INF)
+            else:  # projective (X:Y:Z) -> affine -> Jacobian (x, y, 1)
+                zi = pow(z, -1, c.p)
+                out.append(((x * zi) % c.p, (y * zi) % c.p, 1))
+        return out[: cfg.num_windows]
+
+    def msm(self, points: Sequence[Tuple[int, int]],
+            scalars: Sequence[int]) -> JacInt:
+        """Full MSM: device pipeline + host Horner over window sums
+        (factor 2^s per window, metal_msm.rs:250-258)."""
+        cfg = self.config
+        xs, ys, hw = self.pack(points, scalars)
+        windows = self.window_sums(xs, ys, hw)
+        acc = ref.INF
+        for gw in reversed(windows):
+            for _ in range(cfg.window_size):
+                acc = ref.dbl(cfg.curve, acc)
+            acc = ref.add(cfg.curve, acc, gw)
+        return acc
+
+
+_PIPELINE_CACHE: Dict[MSMConfig, MSMPipeline] = {}
+
+
+def get_pipeline(config: MSMConfig) -> MSMPipeline:
+    pipe = _PIPELINE_CACHE.get(config)
+    if pipe is None:
+        pipe = _PIPELINE_CACHE[config] = MSMPipeline(config)
+    return pipe
+
+
+def tpu_variable_base_msm(points: Sequence[Tuple[int, int]],
+                          scalars: Sequence[int],
+                          config: MSMConfig | None = None,
+                          curve: CurveParams = BN254_S12) -> JacInt:
+    """Variable-base MSM: sum_i scalars[i] * points[i] over the given curve.
+
+    Drop-in semantics of metal_variable_base_msm (metal_msm.rs:642-695):
+    raises on empty input, truncates to min(len(points), len(scalars)),
+    picks the window size from the static schedule. Returns a Jacobian
+    (x, y, z) int tuple in standard (non-Montgomery) form; z == 0 means
+    the point at infinity."""
+    if len(points) == 0 or len(scalars) == 0:
+        raise ValueError("tpu_variable_base_msm: empty input")
+    n = min(len(points), len(scalars))
+    points, scalars = points[:n], scalars[:n]
+    if config is None:
+        config = default_config(n, curve)
+    return get_pipeline(config).msm(points, scalars)

@@ -1,1 +1,1 @@
-from . import limbs, field, mont, barrett  # noqa: F401
+from . import limbs, field, mont, barrett, curve  # noqa: F401

@@ -58,6 +58,24 @@ def planar_to_ints(arr: np.ndarray, log_limb_size: int = 16) -> List[int]:
     return out
 
 
+def planar_signed_to_ints_modp(arr: np.ndarray, curve: CurveParams) -> List[int]:
+    """Signed lazy limbs (ops/lazy.py) -> canonical field ints.
+
+    The lazy pipeline's outputs carry relaxed representations (values in
+    [0, 4p), limbs possibly negative); the exact integer is the signed
+    limb-weighted sum, reduced mod p on the host — the role
+    mont_reduction.rs raw_reduction plays for the reference's readbacks."""
+    arr = np.asarray(arr)
+    w = curve.log_limb_size
+    out = []
+    for col in arr.T:
+        acc = 0
+        for j in range(arr.shape[0] - 1, -1, -1):
+            acc = (acc << w) + int(col[j])
+        out.append((acc * curve.rinv) % curve.p)  # also Montgomery-decode
+    return out
+
+
 def points_to_planar(points: Sequence[Tuple[int, int]], curve: CurveParams
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Affine (x, y) int pairs -> two (num_limbs, n) planar arrays
