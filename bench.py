@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""End-to-end MSM benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": ratio}
+
+vs_baseline is reference_ms / our_ms against the Metal MSM v0.2.0 numbers
+from /root/reference README.md (BASELINE.md) at the same size — > 1 means
+faster than the reference on its own headline benchmark.
+
+Env knobs:
+  BENCH_N       input size (default 65536 = 2^16)
+  BENCH_RUNS    timed repetitions (default 3, median reported)
+  BENCH_VERIFY  1 (default) to verify the result via the O(k) linearity
+                check (utils/preprocess.py), 0 to skip
+  BENCH_WINDOW  override the window size from the default schedule
+Setup (vector generation, XLA compile) is excluded from timing, matching
+the reference's methodology (BASELINE.md "test-case setup time excluded";
+criterion benches pre-generate vectors, benches/e2e.rs:41).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+
+# Reference Metal MSM v0.2.0 (M3) BN254 e2e latencies, ms (BASELINE.md)
+REFERENCE_MS = {1 << 12: 134, 1 << 14: 124, 1 << 16: 253, 1 << 18: 678,
+                1 << 20: 1702, 1 << 22: 5390, 1 << 24: 22241}
+
+
+def baseline_for(n: int) -> float:
+    if n in REFERENCE_MS:
+        return float(REFERENCE_MS[n])
+    # log-linear interpolation/extrapolation between table points
+    import math
+    xs = sorted(REFERENCE_MS)
+    lo = max([x for x in xs if x <= n], default=xs[0])
+    hi = min([x for x in xs if x >= n], default=xs[-1])
+    if lo == hi:
+        return float(REFERENCE_MS[lo])
+    t = (math.log2(n) - math.log2(lo)) / (math.log2(hi) - math.log2(lo))
+    return float(2 ** ((1 - t) * math.log2(REFERENCE_MS[lo]) +
+                       t * math.log2(REFERENCE_MS[hi])))
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", 1 << 16))
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+    verify = os.environ.get("BENCH_VERIFY", "1") == "1"
+
+    import jax
+    from tpu_msm.config import default_config, MSMConfig
+    from tpu_msm.constants import BN254_S12
+    from tpu_msm.cuzk.pipeline import get_pipeline
+    from tpu_msm.reference import curve as ref
+    from tpu_msm.utils import preprocess
+
+    curve = BN254_S12
+    cfg = default_config(n, curve)
+    if "BENCH_WINDOW" in os.environ:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, window_size=int(os.environ["BENCH_WINDOW"]))
+    pipe = get_pipeline(cfg)
+
+    print(f"[bench] n=2^{n.bit_length()-1} cfg: s={cfg.window_size} "
+          f"C={cfg.columns} T={cfg.pbpr_threads} Wg={cfg.subtask_group} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    t0 = time.time()
+    xs, ys, hw, base = preprocess.gen_planar_inputs(curve, pipe.padded_size(n),
+                                                    seed=99, k_base=64)
+    hw[:, n:] = 0  # padding lanes: zero scalars
+    hw_dev = np.concatenate([hw, np.zeros((2, hw.shape[1]), np.uint32)], axis=0)
+    xs = xs.astype(np.int32)
+    ys = ys.astype(np.int32)
+    print(f"[bench] vectors ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    windows = pipe.window_sums(xs, ys, hw_dev)  # compile + warmup
+    print(f"[bench] compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        windows = pipe.window_sums(xs, ys, hw_dev)
+        # host Horner is part of the reference's measured path (stage 5)
+        acc = ref.INF
+        for gw in reversed(windows):
+            for _ in range(cfg.window_size):
+                acc = ref.dbl(curve, acc)
+            acc = ref.add(curve, acc, gw)
+        times.append((time.time() - t0) * 1000.0)
+    ms = statistics.median(times)
+
+    if verify:
+        t0 = time.time()
+        want = preprocess.expected_msm(base, hw[:, :hw.shape[1]], curve)
+        ok = ref.jac_eq(curve, acc, want)
+        print(f"[bench] verify ({time.time()-t0:.1f}s): "
+              f"{'EXACT MATCH' if ok else 'MISMATCH'}", file=sys.stderr)
+        if not ok:
+            print(json.dumps({"metric": f"bn254_msm_2^{n.bit_length()-1}_ms",
+                              "value": -1.0, "unit": "ms",
+                              "vs_baseline": 0.0, "error": "verify failed"}))
+            sys.exit(1)
+
+    print(json.dumps({
+        "metric": f"bn254_msm_2^{n.bit_length()-1}_latency",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_for(n) / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
