@@ -84,7 +84,16 @@ def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
     """Static window/shape schedule by input size — the analogue of the
     reference's size schedule (metal_msm.rs:661-691), seeded from it and
     retuned for the TPU formulation (see utils/window.py for the cost
-    model and bench/ for measured points)."""
+    model and benches/ for measured points). A measured autotune result
+    for this exact (device, curve, n) — utils/window.py autotune() —
+    overrides the static schedule."""
+    try:
+        from .utils.window import cached_config
+        tuned = cached_config(n, curve)
+        if tuned is not None:
+            return tuned
+    except Exception:
+        pass
     if n < (1 << 10):
         return MSMConfig(curve=curve, window_size=8, columns=32,
                          pbpr_threads=16, subtask_group=8)

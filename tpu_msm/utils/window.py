@@ -1,0 +1,184 @@
+"""Window-size cost model + on-device autotuner.
+
+Analogue of mopro-msm/src/msm/metal_msm/utils/window_size_optimizer.rs:
+the reference implements the cuZK §4.1 cost model (:38-51, PADD count
+`ceil(λ/s)·(n+2^(s+1))/t + s + log2 t`) and an argmin over s (:57-76) but
+ships a hardcoded schedule (metal_msm.rs:661-691), using the model "only
+as a reference" (window_size_optimizer.rs:6-8).
+
+Here both halves are live:
+  * `predict_cost(n, s, cfg-knobs)` — a point-add count for OUR pipeline
+    shape (sequential segmented scan + PBPR slices + column stitch), used
+    to seed candidate configs;
+  * `autotune(n)` — measures real device latency per candidate and
+    persists the winner to an on-disk JSON cache (the "autotune cache
+    file" SURVEY.md §5 'Config' prescribes), keyed by (device_kind,
+    curve, n). `default_config` consults this cache when present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Dict, Iterable, List, Tuple
+
+from ..constants import BN254_S12, CurveParams
+
+_CACHE_PATH = os.path.join(os.path.dirname(__file__), "..", "..",
+                           ".autotune_cache.json")
+
+
+def predict_cost(n: int, s: int, curve: CurveParams = BN254_S12,
+                 columns: int | None = None, pbpr_threads: int | None = None
+                 ) -> float:
+    """Predicted complete-point-add count for one MSM at window size s.
+
+    Our pipeline (cuzk/smvp.py, cuzk/pbpr.py) does, per window:
+      n       mixed adds   — the sequential segmented scan over the sorted
+                             stream (work-optimal: one add per point);
+      2 log2(C) · C        — the cross-column stitch (associative_scan over
+                             C trailing sums + injection adds);
+      2·B     adds         — PBPR stage 1 (m and g running sums, B = 2^(s-1)
+                             buckets, each visited once for each of m/g);
+      ~2·T + log2(Bt)      — PBPR stage 2 suffix sums + doublings.
+    All multiplied by W = ceil(scalar_bits / s). The VPU executes lanes in
+    parallel, so *latency* additionally rewards shapes whose scan depth
+    R = n/C is small; the depth term enters with a small weight because
+    wide lanes amortize it."""
+    W = -(-curve.scalar_bits // s)
+    B = 1 << (s - 1)
+    C = columns or min(max(n // 8, 32), 2048)
+    T = pbpr_threads or max(B // 2, 1)
+    Bt = max(B // T, 1)
+    per_window = (n                                  # scan adds
+                  + 2 * C * max(math.log2(C), 1)     # stitch
+                  + 2 * B                            # PBPR stage 1
+                  + 2 * T + math.log2(Bt) + s)       # stage 2 + Horner dbls
+    return W * per_window
+
+
+def optimal_window_size(n: int, curve: CurveParams = BN254_S12,
+                        s_range: Iterable[int] = range(8, 17)) -> int:
+    """argmin of predict_cost over s — the analogue of the reference's
+    parallel argmin (window_size_optimizer.rs:57-76)."""
+    return min(s_range, key=lambda s: predict_cost(n, s, curve))
+
+
+def candidate_configs(n: int, curve: CurveParams = BN254_S12):
+    """Model-seeded candidate MSMConfigs around the predicted optimum."""
+    from ..config import MSMConfig
+    s_best = optimal_window_size(n, curve)
+    out = []
+    for s in {max(s_best - 1, 4), s_best, min(s_best + 1, 16)}:
+        B = 1 << (s - 1)
+        for c_exp in (7, 8, 9, 10):
+            C = 1 << c_exp
+            if C > max(n, 32):
+                continue
+            for wg in (1, 2, 4):
+                try:
+                    cfg = MSMConfig(curve=curve, window_size=s,
+                                    columns=min(C, n),
+                                    pbpr_threads=min(max(B // 2, 1), 512),
+                                    subtask_group=wg)
+                except ValueError:
+                    continue
+                out.append(cfg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# On-device autotune with persistent cache
+# ---------------------------------------------------------------------------
+
+
+def _load_cache() -> Dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cache(cache: Dict) -> None:
+    tmp = _CACHE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, _CACHE_PATH)
+
+
+def _cache_key(curve: CurveParams, n: int) -> str:
+    import jax
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    return f"{kind}/{curve.name}/{n}"
+
+
+def cached_config(n: int, curve: CurveParams = BN254_S12):
+    """Best measured config for (device, curve, n) if autotuned before."""
+    from ..config import MSMConfig
+    rec = _load_cache().get(_cache_key(curve, n))
+    if not rec:
+        return None
+    return MSMConfig(curve=curve, **{k: rec[k] for k in
+                                     ("window_size", "columns",
+                                      "pbpr_threads", "subtask_group")})
+
+
+def autotune(n: int, curve: CurveParams = BN254_S12, runs: int = 2,
+             configs=None, verbose: bool = True) -> Tuple:
+    """Measure each candidate on the current device; persist the winner.
+
+    Returns (best_config, results list of (config, median_ms))."""
+    import statistics
+
+    import numpy as np
+
+    from ..cuzk.pipeline import MSMPipeline
+    from . import preprocess
+
+    results: List[Tuple] = []
+    configs = configs or candidate_configs(n, curve)
+    xs = ys = hw = None
+    for cfg in configs:
+        pipe = MSMPipeline(cfg)
+        n_pad = pipe.padded_size(n)
+        if xs is None or xs.shape[1] < n_pad:
+            xs, ys, hw, _ = preprocess.gen_planar_inputs(curve, n_pad, seed=5)
+            hw[:, n:] = 0
+            hw = np.concatenate(
+                [hw, np.zeros((2, hw.shape[1]), np.uint32)], axis=0)
+            xs, ys = xs.astype(np.int32), ys.astype(np.int32)
+        try:
+            t0 = time.time()
+            pipe.window_sums(xs[:, :n_pad], ys[:, :n_pad], hw[:, :n_pad])
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(runs):
+                t0 = time.time()
+                pipe.window_sums(xs[:, :n_pad], ys[:, :n_pad], hw[:, :n_pad])
+                times.append((time.time() - t0) * 1e3)
+            ms = statistics.median(times)
+        except Exception as e:  # OOM or compile failure: skip candidate
+            if verbose:
+                print(f"[autotune] {cfg.window_size}/{cfg.columns}/"
+                      f"{cfg.subtask_group}: FAILED {type(e).__name__}")
+            continue
+        results.append((cfg, ms))
+        if verbose:
+            print(f"[autotune] s={cfg.window_size} C={cfg.columns} "
+                  f"T={cfg.pbpr_threads} Wg={cfg.subtask_group}: "
+                  f"{ms:.1f} ms (compile {compile_s:.0f}s)")
+    if not results:
+        raise RuntimeError("autotune: no candidate config succeeded")
+    best, best_ms = min(results, key=lambda r: r[1])
+    cache = _load_cache()
+    cache[_cache_key(curve, n)] = {
+        "window_size": best.window_size, "columns": best.columns,
+        "pbpr_threads": best.pbpr_threads,
+        "subtask_group": best.subtask_group, "ms": round(best_ms, 2),
+    }
+    _save_cache(cache)
+    return best, results
