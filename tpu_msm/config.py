@@ -33,6 +33,9 @@ class MSMConfig:
     unroll: unrolled (fused) Montgomery muls in the hot scan body; rolled
         elsewhere for small graphs.
     dbl_mode: exceptional-case strategy in jac_add ("cond" | "select").
+    backend: "pallas" (Mosaic kernels, cuzk/pipeline_pallas.py — the
+        production TPU path), "xla" (pure-jnp reference path,
+        cuzk/pipeline.py), or "auto" (pallas on TPU, xla elsewhere).
     """
 
     curve: CurveParams = BN254_S12
@@ -42,6 +45,7 @@ class MSMConfig:
     subtask_group: int = 4
     unroll: bool = True
     dbl_mode: str = "cond"
+    backend: str = "auto"
 
     def __post_init__(self):
         s = self.window_size
@@ -54,6 +58,8 @@ class MSMConfig:
         B = self.half_columns
         if self.pbpr_threads > B:
             raise ValueError("pbpr_threads must divide the bucket count")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError("backend must be auto | xla | pallas")
         # top window must not overflow under signed-digit carry
         top_bits = self.curve.scalar_bits - s * (self.num_windows - 1)
         if top_bits >= s:
@@ -98,13 +104,13 @@ def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
         return MSMConfig(curve=curve, window_size=8, columns=32,
                          pbpr_threads=16, subtask_group=8)
     if n < (1 << 14):
-        return MSMConfig(curve=curve, window_size=10, columns=64,
+        return MSMConfig(curve=curve, window_size=10, columns=256,
                          pbpr_threads=64, subtask_group=8)
     if n < (1 << 19):
-        return MSMConfig(curve=curve, window_size=13, columns=256,
-                         pbpr_threads=128, subtask_group=4)
+        return MSMConfig(curve=curve, window_size=13, columns=2048,
+                         pbpr_threads=256, subtask_group=4)
     if n <= (1 << 22):
-        return MSMConfig(curve=curve, window_size=14, columns=512,
+        return MSMConfig(curve=curve, window_size=14, columns=4096,
                          pbpr_threads=256, subtask_group=2)
-    return MSMConfig(curve=curve, window_size=16, columns=1024,
+    return MSMConfig(curve=curve, window_size=16, columns=8192,
                      pbpr_threads=512, subtask_group=1)

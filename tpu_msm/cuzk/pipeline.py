@@ -80,7 +80,21 @@ class MSMPipeline:
 
     def __init__(self, config: MSMConfig):
         self.config = config
-        self._fn = jax.jit(functools.partial(_windows_device, cfg=config))
+        self._fn = jax.jit(functools.partial(
+            self.windows_fn(config), cfg=config))
+
+    @staticmethod
+    def windows_fn(config: MSMConfig):
+        """Pick the device implementation for `config.backend`: the
+        Pallas kernel path on TPU, the pure-XLA reference path
+        elsewhere (and under backend="xla")."""
+        backend = config.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas":
+            from .pipeline_pallas import _windows_device_pallas
+            return _windows_device_pallas
+        return _windows_device
 
     # ---- host-side staging (analogue of stage 0 pack, limbs_conversion.rs
     # pack_affine_and_scalars :311-378, and the final_reduction host stage,
@@ -93,17 +107,23 @@ class MSMPipeline:
     def pack(self, points: Sequence[Tuple[int, int]], scalars: Sequence[int]
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Affine int points + int scalars -> padded planar device inputs.
-        Padding lanes carry zero scalars (digit 0 -> discarded)."""
+        Padding lanes carry the curve GENERATOR with zero scalars: the
+        zero digits land in the discard bucket, and — essential for the
+        pallas prefix-sum formulation — every lane stays a genuine curve
+        point, so the complete-formula group identities hold on every
+        intermediate (an off-curve (0,0) pad would void the
+        G(e) - G(s-1) cancellation)."""
         cfg = self.config
         n = len(points)
         n_pad = self.padded_size(n)
+        if n_pad > n:
+            points = list(points) + [(cfg.curve.gen_x, cfg.curve.gen_y)] * (
+                n_pad - n)
+            scalars = list(scalars) + [0] * (n_pad - n)
         xs, ys = points_to_planar(points, cfg.curve)
         hw = scalars_to_planar(scalars, cfg.curve)
         # +2 pad halfwords so top-window extraction never reads off the end
-        hw = np.concatenate([hw, np.zeros((2, n), np.uint32)], axis=0)
-        if n_pad > n:
-            pad = ((0, 0), (0, n_pad - n))
-            xs, ys, hw = (np.pad(a, pad) for a in (xs, ys, hw))
+        hw = np.concatenate([hw, np.zeros((2, n_pad), np.uint32)], axis=0)
         # coordinates enter the signed-lazy path as int32 canonical limbs
         return xs.astype(np.int32), ys.astype(np.int32), hw
 

@@ -1,0 +1,164 @@
+"""Pallas-backed MSM device pipeline (the production TPU path).
+
+Same five-stage structure as cuzk/pipeline.py (the XLA reference path)
+but with the hot kernels in Pallas (cuzk/kernels.py) and the SMVP
+re-formulated as **prefix sums + group subtraction**:
+
+  Stage 1  encode_mont kernel + decompose (XLA bit-slicing)
+  Stage 2  per window: stable argsort of bucket keys (XLA sort — the
+           counting-sort transpose of transpose.metal:8-65)
+  Stage 3  prefix_scan kernel: ONE sequential grid over the sorted point
+           stream computing unsegmented running prefix sums T.
+           Bucket b of window w = G(e_b) - G(s_b - 1), where
+           G(p) = T[p] + S[col(p)] (S = exclusive column-total prefix)
+           and s_b/e_b come from searchsorted on the sorted keys.
+           The subtraction is one complete-add with negated y — so the
+           signed-bucket handling of smvp.metal:46-105, the atomic
+           transpose, and the reference's per-bucket serial loops all
+           collapse into gathers + three batched point adds.
+  Stage 4  pbpr_stage1 kernel (cuZK Alg.4 m/g split, pbpr.metal:33-96)
+           + stage-2 offset combination via a bit-decomposed weighted
+           sum: sum_t t*m_t = sum_k 2^k * (sum_{t: bit k} m_t), computed
+           with log-depth Hillis-Steele scans of padd_batch — replacing
+           the reference's per-thread double_and_add (pbpr.metal:16-31).
+  Stage 5  host Horner over per-window sums (pipeline.py MSMPipeline).
+
+Everything from stage 1-4 runs inside ONE jitted program; only the W
+window sums leave the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MSMConfig
+from ..constants import CurveParams
+from ..ops.complete import ProjPoint
+from . import decompose, kernels
+
+I32 = jnp.int32
+
+
+def _hs_scan_last(p: jnp.ndarray, curve: CurveParams,
+                  inclusive: bool = True) -> jnp.ndarray:
+    """Hillis-Steele inclusive prefix scan of points along the last axis.
+
+    p: (3, L, ..., K) stacked lazy points. log2(K) padd_batch calls, all
+    at full width (shifted-in lanes are infinity, the monoid identity)."""
+    K = p.shape[-1]
+    inf = kernels.inf_stacked(curve, p.shape[2:])
+    k = 1
+    while k < K:
+        shifted = jnp.concatenate(
+            [inf[..., :k], p[..., :-k]], axis=-1)
+        p = kernels.padd_batch(p, shifted, curve)
+        k *= 2
+    return p
+
+
+def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
+                           halfwords: jnp.ndarray, *,
+                           cfg: MSMConfig) -> ProjPoint:
+    curve = cfg.curve
+    L = curve.num_limbs
+    n = xs.shape[-1]
+    W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
+    C = min(cfg.columns, n)
+    R = n // C
+    B = cfg.half_columns
+
+    # ---- stage 1: Montgomery encode + signed decompose ----
+    xm = kernels.encode_mont(xs, curve)
+    ym = kernels.encode_mont(ys, curve)
+    digits = decompose.decompose(halfwords, cfg)            # (W, n)
+    if cfg.padded_windows > W:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((cfg.padded_windows - W, n), I32)], axis=0)
+    dgroups = digits.reshape(G, Wg, n)
+
+    inf_b = kernels.inf_stacked(curve, (Wg, B))
+
+    def group_body(_, dg):
+        # ---- stage 2: sort by bucket ----
+        keys = jnp.abs(dg)                                   # (Wg, n)
+        sign = (dg < 0).astype(I32)
+        perm = jnp.argsort(keys, axis=-1, stable=True)
+        skeys = jnp.take_along_axis(keys, perm, axis=-1)
+        # kernel stream order: index q = r*C + c holds global position
+        # p = c*R + r (contiguous chunks per lane, so the global prefix
+        # decomposes as G(p) = T[r, c] + S_c)
+        perm_t = perm.reshape(Wg, C, R).swapaxes(1, 2).reshape(Wg, n)
+        sign_t = jnp.take_along_axis(sign, perm_t, axis=-1)
+        sx = xm[:, perm_t]                                   # (L, Wg, n)
+        sy = ym[:, perm_t]
+
+        # ---- stage 3: prefix scan + bucket extraction ----
+        tbuf = kernels.prefix_scan(sx, sy, sign_t, curve, C)
+
+        qs = jnp.arange(1, B + 2, dtype=I32)
+        cnt = jax.vmap(
+            lambda sk: jnp.searchsorted(sk, qs, side="left"))(skeys)
+        s = cnt[:, :B]                                       # (Wg, B)
+        e = cnt[:, 1:] - 1
+        empty = cnt[:, 1:] == cnt[:, :B]
+
+        def tindex(p):                                       # global -> q
+            return (p % R) * C + (p // R)
+
+        def gather_t(idx):
+            ix = jnp.broadcast_to(idx[None, None], (3, L) + idx.shape)
+            return jnp.take_along_axis(tbuf, ix, axis=-1)
+
+        sm1 = jnp.maximum(s - 1, 0)
+        Te = gather_t(tindex(e))
+        Ts = gather_t(tindex(sm1))
+
+        coltot = tbuf[..., (R - 1) * C:]                     # (3,L,Wg,C)
+        inf_c = kernels.inf_stacked(curve, (Wg, 1))
+        excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
+        S = _hs_scan_last(excl, curve)                       # exclusive
+
+        def gather_s(cidx):
+            ix = jnp.broadcast_to(cidx[None, None], (3, L) + cidx.shape)
+            return jnp.take_along_axis(S, ix, axis=-1)
+
+        Ge = kernels.padd_batch(Te, gather_s(e // R), curve)
+        Gs = kernels.padd_batch(Ts, gather_s(sm1 // R), curve)
+        Gs = jnp.where((s == 0)[None, None], inf_b, Gs)
+        bucket = kernels.psub_batch(Ge, Gs, curve)
+        bucket = jnp.where(empty[None, None], inf_b, bucket)
+        return None, bucket                                  # (3,L,Wg,B)
+
+    _, bk = jax.lax.scan(group_body, None, dgroups)
+    # (G, 3, L, Wg, B) -> (3, L, Wp, B)
+    buckets = jnp.moveaxis(bk, 0, 2).reshape(3, L, cfg.padded_windows, B)
+
+    # ---- stage 4: PBPR ----
+    T = min(cfg.pbpr_threads, B)
+    Bt = B // T
+    m, g = kernels.pbpr_stage1(buckets, curve, T)            # (3,L,Wp,T)
+
+    # stage 4b: G_w = sum_t g_t + Bt * sum_t t*m_t
+    bits = max((T - 1).bit_length(), 1)
+    t_ids = jnp.arange(T, dtype=I32)
+    inf_t = kernels.inf_stacked(curve, (cfg.padded_windows, 1, T))
+    masked = [g[:, :, :, None, :]]
+    for k in range(bits):
+        has = ((t_ids >> k) & 1).astype(bool)
+        masked.append(jnp.where(has[None, None, None, None],
+                                m[:, :, :, None, :], inf_t))
+    allm = jnp.concatenate(masked, axis=3)       # (3,L,Wp,bits+1,T)
+    totals = _hs_scan_last(allm, curve)[..., -1]  # (3,L,Wp,bits+1)
+    g_tot = totals[..., 0]
+    acc = kernels.inf_stacked(curve, (cfg.padded_windows,))
+    for k in range(bits - 1, -1, -1):             # Horner: sum 2^k S_k
+        acc = kernels.pdbl_batch(acc, curve)
+        acc = kernels.padd_batch(acc, totals[..., 1 + k], curve)
+    for _ in range(max(Bt.bit_length() - 1, 0)):  # * Bt
+        acc = kernels.pdbl_batch(acc, curve)
+    gw = kernels.padd_batch(g_tot, acc, curve)    # (3, L, Wp)
+    return ProjPoint(gw[0], gw[1], gw[2])

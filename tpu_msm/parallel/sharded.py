@@ -66,9 +66,10 @@ def make_sharded_windows_fn(cfg: MSMConfig, mesh: jax.sharding.Mesh):
     Inputs are (L, n) / (H, n) planar arrays sharded on the n axis;
     output is the replicated per-window ProjPoint (L, W_padded)."""
     ndev = mesh.shape["x"]
+    windows_fn = MSMPipeline.windows_fn(cfg)
 
     def per_chip(xs, ys, hw):
-        g = _windows_device(xs, ys, hw, cfg=cfg)          # local (L, Wp)
+        g = windows_fn(xs, ys, hw, cfg=cfg)               # local (L, Wp)
         gx = jax.lax.all_gather(g.x, "x")                  # (ndev, L, Wp)
         gy = jax.lax.all_gather(g.y, "x")
         gz = jax.lax.all_gather(g.z, "x")
