@@ -23,7 +23,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TPU_MSM_TEST_TPU=1 runs the suite against the real TPU instead of the
+# virtual CPU mesh (used by scripts/tpu_verify.py for the pallas battery)
+if os.environ.get("TPU_MSM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # pytest plugins import jax BEFORE this conftest runs, so the env vars
 # above are too late for jax's import-time config reads — set explicitly.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -23,6 +23,14 @@ RNG = np.random.default_rng(5)
 CFG = MSMConfig(curve=C, window_size=8, columns=32, pbpr_threads=16,
                 subtask_group=8, backend="pallas")
 
+# Interpreter-mode pallas costs minutes PER KERNEL CALL on this 1-core
+# host (every interpreted op is individually dispatched/compiled), so all
+# pallas_call tests run on real TPU only — scripts/tpu_verify.py executes
+# this battery on-device, and the math itself is covered on CPU by
+# tests/test_rows.py (rows == stacked twins == oracle).
+tpu_only = pytest.mark.skipif(jax.default_backend() != "tpu",
+                              reason="pallas kernels: TPU only (interpret too slow)")
+
 
 def rand_stacked(batch):
     return jnp.asarray(RNG.integers(0, 1 << C.log_limb_size,
@@ -36,6 +44,7 @@ def test_encode_mont_matches_lazy():
     assert jnp.array_equal(got, want)
 
 
+@tpu_only
 def test_padd_psub_pdbl_batch():
     p = jnp.stack([rand_stacked((2, 16)) for _ in range(3)])  # (3,L,2,16)
     q = jnp.stack([rand_stacked((2, 16)) for _ in range(3)])
@@ -48,6 +57,7 @@ def test_padd_psub_pdbl_batch():
     assert jnp.array_equal(d_want, kernels.pdbl_batch(p, C))
 
 
+@tpu_only
 def test_psub_is_group_subtraction():
     # random curve points a, b: (a+b) - b == a  (projectively)
     pts, _ = ref.gen_points_scalars(C, 4, seed=9)
@@ -78,6 +88,7 @@ def test_psub_is_group_subtraction():
         assert (gx * zi) % C.p == x and (gy * zi) % C.p == y
 
 
+@tpu_only
 def test_prefix_scan_matches_pmadd_chain():
     Wg, n, Cn = 2, 64, 8
     R = n // Cn
@@ -105,6 +116,7 @@ def test_prefix_scan_matches_pmadd_chain():
     assert np.array_equal(np.asarray(tbuf), want)
 
 
+@tpu_only
 def test_pbpr_stage1_matches_reference():
     W, B, T = 3, 16, 4
     Bt = B // T
@@ -126,12 +138,14 @@ def msm_oracle(c, pts, scalars):
     return ref.msm_pippenger_signed(c, pts, scalars, window=8)
 
 
+@tpu_only
 def test_pallas_e2e_random():
     pts, scalars = ref.gen_points_scalars(C, 200, seed=91)
     got = tpu_variable_base_msm(pts, scalars, config=CFG)
     assert ref.jac_eq(C, got, msm_oracle(C, pts, scalars))
 
 
+@tpu_only
 def test_pallas_e2e_adversarial():
     pts, scalars = ref.gen_points_scalars(C, 64, seed=92)
     pts = pts + pts[:32]
@@ -143,6 +157,7 @@ def test_pallas_e2e_adversarial():
     assert ref.jac_eq(C, got, msm_oracle(C, pts, scalars))
 
 
+@tpu_only
 def test_pallas_e2e_equal_scalars():
     pts, _ = ref.gen_points_scalars(C, 96, seed=93)
     k = 0x1234567890ABCDEF1234567890ABCDEF
@@ -150,6 +165,7 @@ def test_pallas_e2e_equal_scalars():
     assert ref.jac_eq(C, got, msm_oracle(C, pts, [k] * 96))
 
 
+@tpu_only
 def test_pallas_e2e_second_geometry():
     cfg = MSMConfig(curve=C, window_size=11, columns=16, pbpr_threads=8,
                     subtask_group=4, backend="pallas")

@@ -50,6 +50,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# v5e has 128 MB of VMEM; the default 16 MB scoped limit is far too small
+# for the live set of a 12-mul complete-add body at wide blocks.
+_COMPILER_PARAMS = None if jax.default_backend() != "tpu" else     pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _stack3(p: rows.ProjRows) -> jnp.ndarray:
     return jnp.stack([jnp.stack(p.x), jnp.stack(p.y), jnp.stack(p.z)])
 
@@ -84,6 +89,7 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
         grid=(V // bv,),
         out_shape=jax.ShapeDtypeStruct((L, S, V), I32),
         in_specs=[spec], out_specs=spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(x3)
     return out.reshape(L, n)
@@ -154,6 +160,7 @@ def prefix_scan(sx: jnp.ndarray, sy: jnp.ndarray, ssign: jnp.ndarray,
         in_specs=[in_spec, in_spec, sg_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((3 * L * Wg, C), I32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(sx2, sy2, ssign.astype(I32))
     return tbuf.reshape(3, L, Wg, n)
@@ -177,13 +184,15 @@ def _padd_kernel(p_ref, q_ref, o_ref, *, curve: CurveParams, L: int):
 
 
 def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
-               block: int = 512) -> jnp.ndarray:
+               block: int = 512, alias_p: bool = False) -> jnp.ndarray:
     """Complete projective add on stacked batches.
 
     p, q: (3, L, *batch) int32 lazy limbs (values < 4p). Returns the same
     shape. Batch is flattened and blocked over an (8, block) grid; lanes
     are padded to a multiple of 8*block with zeros (harmless: garbage in,
-    garbage out in dropped lanes)."""
+    garbage out in dropped lanes). alias_p=True reuses p's buffer for the
+    output (donation) — only when the caller is done with p; saves a full
+    result allocation on big streams (the gbuf globalize pass)."""
     L = p.shape[1]
     batch_shape = p.shape[2:]
     F = 1
@@ -207,6 +216,8 @@ def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
         grid=((Fp // 8) // bv,),
         out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
         in_specs=[spec, spec], out_specs=spec,
+        input_output_aliases={0: 0} if alias_p else {},
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(p3, q3)
     return out.reshape(3 * L, Fp)[:, :F].reshape(3, L, *batch_shape)
@@ -260,6 +271,7 @@ def pdbl_batch(p: jnp.ndarray, curve: CurveParams,
         grid=((Fp // 8) // bv,),
         out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
         in_specs=[spec], out_specs=spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(p3)
     return out.reshape(3 * L, Fp)[:, :F].reshape(3, L, *batch_shape)
@@ -345,6 +357,7 @@ def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,
         in_specs=[in_spec],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((2 * 3 * L * W, T), I32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(arr)
     return (m.reshape(3, L, W, T), g.reshape(3, L, W, T))

@@ -99,37 +99,52 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # ---- stage 3: prefix scan + bucket extraction ----
         tbuf = kernels.prefix_scan(sx, sy, sign_t, curve, C)
 
+        # globalize: G[q] = T[r, c] + S_c (S = exclusive column-total
+        # prefix), applied over the FULL stream with one padd_batch —
+        # after this, exactly ONE big gather is needed per group
+        coltot = tbuf[..., (R - 1) * C:]                     # (3,L,Wg,C)
+        inf_c = kernels.inf_stacked(curve, (Wg, 1))
+        excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
+        S = _hs_scan_last(excl, curve)                       # exclusive
+        S_full = jnp.broadcast_to(
+            S[..., None, :], (3, L, Wg, R, C)).reshape(3, L, Wg, n)
+        gbuf = kernels.padd_batch(tbuf, S_full, curve, alias_p=True)
+
         qs = jnp.arange(1, B + 2, dtype=I32)
         cnt = jax.vmap(
             lambda sk: jnp.searchsorted(sk, qs, side="left"))(skeys)
-        s = cnt[:, :B]                                       # (Wg, B)
-        e = cnt[:, 1:] - 1
+        e = cnt[:, 1:] - 1                                   # (Wg, B)
         empty = cnt[:, 1:] == cnt[:, :B]
 
         def tindex(p):                                       # global -> q
             return (p % R) * C + (p // R)
 
-        def gather_t(idx):
+        def gather_g(idx):
             ix = jnp.broadcast_to(idx[None, None], (3, L) + idx.shape)
-            return jnp.take_along_axis(tbuf, ix, axis=-1)
+            return jnp.take_along_axis(gbuf, ix, axis=-1)
 
-        sm1 = jnp.maximum(s - 1, 0)
-        Te = gather_t(tindex(e))
-        Ts = gather_t(tindex(sm1))
+        Ge = gather_g(tindex(jnp.maximum(e, 0)))             # (3,L,Wg,B)
 
-        coltot = tbuf[..., (R - 1) * C:]                     # (3,L,Wg,C)
-        inf_c = kernels.inf_stacked(curve, (Wg, 1))
-        excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
-        S = _hs_scan_last(excl, curve)                       # exclusive
+        # G(start_b - 1) = Ge of the previous nonempty bucket (start-1
+        # is always some earlier bucket's end) — a select-based forward
+        # fill, seeded with G(end of the key-0 discard region)
+        n0 = cnt[:, 0]                                       # |key-0 region|
+        G0 = gather_g(tindex(jnp.maximum(n0 - 1, 0))[:, None])
+        G0 = jnp.where((n0 == 0)[None, None, :, None], inf_b[..., :1], G0)
+        vals = jnp.concatenate([G0, Ge[..., :-1]], axis=-1)
+        valid = jnp.concatenate(
+            [jnp.ones((Wg, 1), bool), (~empty)[..., :-1]], axis=-1)
+        k = 1
+        while k < B:
+            pad_v = jnp.broadcast_to(inf_b[..., :k], vals[..., :k].shape)
+            sh_vals = jnp.concatenate([pad_v, vals[..., :-k]], axis=-1)
+            sh_valid = jnp.concatenate(
+                [jnp.zeros((Wg, k), bool), valid[..., :-k]], axis=-1)
+            vals = jnp.where(valid[None, None], vals, sh_vals)
+            valid = valid | sh_valid
+            k *= 2
 
-        def gather_s(cidx):
-            ix = jnp.broadcast_to(cidx[None, None], (3, L) + cidx.shape)
-            return jnp.take_along_axis(S, ix, axis=-1)
-
-        Ge = kernels.padd_batch(Te, gather_s(e // R), curve)
-        Gs = kernels.padd_batch(Ts, gather_s(sm1 // R), curve)
-        Gs = jnp.where((s == 0)[None, None], inf_b, Gs)
-        bucket = kernels.psub_batch(Ge, Gs, curve)
+        bucket = kernels.psub_batch(Ge, vals, curve)
         bucket = jnp.where(empty[None, None], inf_b, bucket)
         return None, bucket                                  # (3,L,Wg,B)
 
