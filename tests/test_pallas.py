@@ -101,7 +101,7 @@ def test_prefix_scan_matches_pmadd_chain():
     sy = jnp.broadcast_to(ym[:, None], (L, Wg, n))
     sign = jnp.zeros((Wg, n), jnp.int32).at[1, ::3].set(1)
 
-    tbuf = kernels.prefix_scan(sx, sy, sign, C, Cn)   # (3, L, Wg, n)
+    tbuf = kernels.prefix_scan(sx, sy, sign, C, Cn).reshape(3, L, Wg, n)
 
     # reference: per-lane running pmadd chain with the stacked ops
     sy_eff = jnp.where(sign[None] != 0, lazy.neg(sy, C, 2), sy)

@@ -139,8 +139,9 @@ def prefix_scan(sx: jnp.ndarray, sy: jnp.ndarray, ssign: jnp.ndarray,
     sx, sy: (L, Wg, n) Montgomery affine coords in KERNEL stream order
         (stream index q = r*C + c holds global sorted position c*R + r).
     ssign: (Wg, n) int32 negative-digit flags, same order.
-    Returns tbuf (3, L, Wg, n): inclusive per-lane prefix points (lane =
-    column c; T[r, c] = sum of that lane's first r+1 points), lazy limbs.
+    Returns tbuf (3*L*Wg, n): inclusive per-lane prefix points (lane =
+    column c; T[r, c] = sum of that lane's first r+1 points), lazy limbs,
+    kept in 2D kernel layout (rows (coord*L + limb)*Wg + window).
     """
     L, Wg, n = sx.shape
     C = columns
@@ -163,7 +164,7 @@ def prefix_scan(sx: jnp.ndarray, sy: jnp.ndarray, ssign: jnp.ndarray,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(sx2, sy2, ssign.astype(I32))
-    return tbuf.reshape(3, L, Wg, n)
+    return tbuf  # (3*L*Wg, n) — kept 2D so downstream ops share tilings
 
 
 # ---------------------------------------------------------------------------
