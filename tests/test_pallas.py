@@ -90,30 +90,33 @@ def test_psub_is_group_subtraction():
 
 @tpu_only
 def test_prefix_scan_matches_pmadd_chain():
-    Wg, n, Cn = 2, 64, 8
-    R = n // Cn
-    pts, _ = ref.gen_points_scalars(C, n, seed=10)
+    # kernel-layout test: random (L*8, R*F8) streams, kernel prefix sums
+    # vs a stacked-op pmadd chain over the same blocks
+    F8, R = 8, 8
+    n8 = R * F8
+    pts, _ = ref.gen_points_scalars(C, 8 * n8, seed=10)
     from tpu_msm.utils.limbs_conversion import points_to_planar
     xs, ys = points_to_planar(pts, C)
     xm = lazy.to_mont(jnp.asarray(xs.astype(np.int32)), C)
     ym = lazy.to_mont(jnp.asarray(ys.astype(np.int32)), C)
-    sx = jnp.broadcast_to(xm[:, None], (L, Wg, n))
-    sy = jnp.broadcast_to(ym[:, None], (L, Wg, n))
-    sign = jnp.zeros((Wg, n), jnp.int32).at[1, ::3].set(1)
+    sx8 = xm.reshape(L, 8, n8).reshape(L * 8, n8)
+    sy8 = ym.reshape(L, 8, n8).reshape(L * 8, n8)
+    sign8 = jnp.zeros((8, n8), jnp.int32).at[3, ::5].set(1)
 
-    tbuf = kernels.prefix_scan(sx, sy, sign, C, Cn).reshape(3, L, Wg, n)
+    tbuf = kernels.prefix_scan(sx8, sy8, sign8, C, F8)
 
-    # reference: per-lane running pmadd chain with the stacked ops
-    sy_eff = jnp.where(sign[None] != 0, lazy.neg(sy, C, 2), sy)
-    want = np.zeros((3, L, Wg, n), np.int32)
-    carry = proj_infinity(C, (Wg, Cn))
+    sx4 = sx8.reshape(L, 8, n8)
+    sy4 = sy8.reshape(L, 8, n8)
+    sy_eff = jnp.where(sign8[None] != 0, lazy.neg(sy4, C, 2), sy4)
+    want = np.zeros((3, L, 8, n8), np.int32)
+    carry = proj_infinity(C, (8, F8))
     for r in range(R):
-        xr = sx[..., r * Cn:(r + 1) * Cn]
-        yr = sy_eff[..., r * Cn:(r + 1) * Cn]
+        xr = sx4[..., r * F8:(r + 1) * F8]
+        yr = sy_eff[..., r * F8:(r + 1) * F8]
         carry = pmadd(carry, xr, yr, C)
-        want[..., r * Cn:(r + 1) * Cn] = np.stack(
+        want[..., r * F8:(r + 1) * F8] = np.stack(
             [np.asarray(carry.x), np.asarray(carry.y), np.asarray(carry.z)])
-    assert np.array_equal(np.asarray(tbuf), want)
+    assert np.array_equal(np.asarray(tbuf).reshape(3, L, 8, n8), want)
 
 
 @tpu_only

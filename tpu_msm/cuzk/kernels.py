@@ -101,70 +101,73 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
 
 
 def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
-                 curve: CurveParams, L: int, Wg: int):
+                 curve: CurveParams, L: int):
     r = pl.program_id(0)
+    S = 8
 
     @pl.when(r == 0)
     def _():
-        like = sx_ref[0:Wg, :] * 0
-        inf = rows.proj_infinity_rows(curve, like[0:Wg])
+        zero = sx_ref[0:S, :] * 0
+        one = int_to_limbs(curve.r_mod_p, L, curve.log_limb_size)
         for i in range(L):
-            carry_ref[i * Wg:(i + 1) * Wg, :] = inf.x[i] * 0
-            carry_ref[(L + i) * Wg:(L + i + 1) * Wg, :] = inf.y[i]
-            carry_ref[(2 * L + i) * Wg:(2 * L + i + 1) * Wg, :] = inf.z[i]
+            carry_ref[i * S:(i + 1) * S, :] = zero
+            carry_ref[(L + i) * S:(L + i + 1) * S, :] = zero + one[i]
+            carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = zero
 
-    x = [sx_ref[i * Wg:(i + 1) * Wg, :] for i in range(L)]
-    y = [sy_ref[i * Wg:(i + 1) * Wg, :] for i in range(L)]
-    sign = sg_ref[:, :]                       # (Wg, C) int32 0/1
+    x = [sx_ref[i * S:(i + 1) * S, :] for i in range(L)]
+    y = [sy_ref[i * S:(i + 1) * S, :] for i in range(L)]
+    sign = sg_ref[:, :]                       # (8, F8) int32 0/1
     yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
     y = rows.select_rows(sign != 0, yneg, y)
     carry = rows.ProjRows(
-        [carry_ref[i * Wg:(i + 1) * Wg, :] for i in range(L)],
-        [carry_ref[(L + i) * Wg:(L + i + 1) * Wg, :] for i in range(L)],
-        [carry_ref[(2 * L + i) * Wg:(2 * L + i + 1) * Wg, :] for i in range(L)])
+        [carry_ref[i * S:(i + 1) * S, :] for i in range(L)],
+        [carry_ref[(L + i) * S:(L + i + 1) * S, :] for i in range(L)],
+        [carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] for i in range(L)])
     acc = rows.pmadd_rows(carry, x, y, curve)
     for i in range(L):
-        carry_ref[i * Wg:(i + 1) * Wg, :] = acc.x[i]
-        carry_ref[(L + i) * Wg:(L + i + 1) * Wg, :] = acc.y[i]
-        carry_ref[(2 * L + i) * Wg:(2 * L + i + 1) * Wg, :] = acc.z[i]
-        o_ref[i * Wg:(i + 1) * Wg, :] = acc.x[i]
-        o_ref[(L + i) * Wg:(L + i + 1) * Wg, :] = acc.y[i]
-        o_ref[(2 * L + i) * Wg:(2 * L + i + 1) * Wg, :] = acc.z[i]
+        carry_ref[i * S:(i + 1) * S, :] = acc.x[i]
+        carry_ref[(L + i) * S:(L + i + 1) * S, :] = acc.y[i]
+        carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = acc.z[i]
+        o_ref[i * S:(i + 1) * S, :] = acc.x[i]
+        o_ref[(L + i) * S:(L + i + 1) * S, :] = acc.y[i]
+        o_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = acc.z[i]
 
 
-def prefix_scan(sx: jnp.ndarray, sy: jnp.ndarray, ssign: jnp.ndarray,
-                curve: CurveParams, columns: int) -> jnp.ndarray:
+def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
+                curve: CurveParams, f8: int) -> jnp.ndarray:
     """Running prefix sums of the sorted, sign-folded point stream.
 
-    sx, sy: (L, Wg, n) Montgomery affine coords in KERNEL stream order
-        (stream index q = r*C + c holds global sorted position c*R + r).
-    ssign: (Wg, n) int32 negative-digit flags, same order.
-    Returns tbuf (3*L*Wg, n): inclusive per-lane prefix points (lane =
-    column c; T[r, c] = sum of that lane's first r+1 points), lazy limbs,
-    kept in 2D kernel layout (rows (coord*L + limb)*Wg + window).
+    Full-sublane layout: per grid step the kernel consumes (8, F8)
+    tiles per limb (anything narrower wastes VPU sublanes — a (2, C)
+    limb row runs at 25% occupancy). The caller lays the per-step
+    stream of F = Wg*C lanes out as (8, F8 = F/8) and stacks steps on
+    the last axis:
+
+    sx8, sy8: (L*8, R*F8) int32 Montgomery coords; block r covers
+        stream positions [r*F, (r+1)*F) of the window group.
+    sign8: (8, R*F8) negative-digit flags, same layout.
+    Returns tbuf (3*L*8, R*F8): inclusive per-lane prefix points.
     """
-    L, Wg, n = sx.shape
-    C = columns
-    R = n // C
-    sx2 = sx.reshape(L * Wg, n)
-    sy2 = sy.reshape(L * Wg, n)
-    in_spec = pl.BlockSpec((L * Wg, C), lambda r: (0, r),
+    L8, n8 = sx8.shape
+    L = L8 // 8
+    R = n8 // f8
+    in_spec = pl.BlockSpec((L8, f8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
-    sg_spec = pl.BlockSpec((Wg, C), lambda r: (0, r),
+    sg_spec = pl.BlockSpec((8, f8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((3 * L * Wg, C), lambda r: (0, r),
+    out_spec = pl.BlockSpec((3 * L8, f8), lambda r: (0, r),
                             memory_space=pltpu.VMEM)
     tbuf = pl.pallas_call(
-        functools.partial(_scan_kernel, curve=curve, L=L, Wg=Wg),
+        functools.partial(_scan_kernel, curve=curve, L=L),
         grid=(R,),
-        out_shape=jax.ShapeDtypeStruct((3 * L * Wg, n), I32),
+        out_shape=jax.ShapeDtypeStruct((3 * L8, n8), I32),
         in_specs=[in_spec, in_spec, sg_spec],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((3 * L * Wg, C), I32)],
+        scratch_shapes=[pltpu.VMEM((3 * L8, f8), I32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(sx2, sy2, ssign.astype(I32))
-    return tbuf  # (3*L*Wg, n) — kept 2D so downstream ops share tilings
+    )(sx8, sy8, sign8.astype(I32))
+    return tbuf
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,17 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     inf_b = kernels.inf_stacked(curve, (Wg, B))
 
     iota = jnp.broadcast_to(jnp.arange(n, dtype=I32), (Wg, n))
+    F = Wg * C                  # lanes per kernel step
+    F8 = F // 8                 # kernel tile is (8, F8) — full sublanes
+    n8 = R * F8
+    wv = jnp.arange(Wg, dtype=I32)[:, None]
+
+    def to_kernel8(a):
+        """(Wg, n) global-order per-window array -> (8, n8) kernel-layout:
+        element (s, r*F8 + v) = a[w, c*R + r] with f = s*F8+v = w*C+c.
+        Pure index-space transposes — cheap next to the limb gathers."""
+        return (a.reshape(Wg, C, R).transpose(2, 0, 1)
+                .reshape(R, 8, F8).swapaxes(0, 1).reshape(8, n8))
 
     def group_body(_, dg):
         # ---- stage 2: sort by bucket ----
@@ -94,28 +105,27 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         keys2 = (jnp.abs(dg) << 1) | (dg < 0).astype(I32)    # (Wg, n)
         skeys2, perm = jax.lax.sort(
             (keys2, iota), dimension=-1, num_keys=1, is_stable=False)
-        # kernel stream order: index q = r*C + c holds global position
-        # p = c*R + r (contiguous chunks per lane, so the global prefix
-        # decomposes as G(p) = T[r, c] + S_c)
-        perm_t = perm.reshape(Wg, C, R).swapaxes(1, 2).reshape(Wg, n)
-        sign_t = skeys2.reshape(Wg, C, R).swapaxes(1, 2).reshape(Wg, n) & 1
-        sx = xm[:, perm_t]                                   # (L, Wg, n)
-        sy = ym[:, perm_t]
+        perm8 = to_kernel8(perm)
+        sign8 = to_kernel8(skeys2) & 1
+        sx8 = xm[:, perm8].reshape(L * 8, n8)
+        sy8 = ym[:, perm8].reshape(L * 8, n8)
 
         # ---- stage 3: prefix scan + bucket extraction ----
         tbuf = kernels.prefix_scan(
-            sx, sy, sign_t, curve, C).reshape(3, L, Wg, n)
+            sx8, sy8, sign8, curve, F8).reshape(3, L, 8, n8)
 
         # globalize: G[q] = T[r, c] + S_c (S = exclusive column-total
         # prefix), applied over the FULL stream with one aliased
         # padd_batch — after this, exactly ONE big gather is needed
-        coltot = tbuf[..., (R - 1) * C:]                     # (3,L,Wg,C)
+        coltot = tbuf[..., (R - 1) * F8:].reshape(3, L, Wg, C)
         inf_c = kernels.inf_stacked(curve, (Wg, 1))
         excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
         S = _hs_scan_last(excl, curve)                       # exclusive
+        S8 = S.reshape(3, L, 8, 1, F8)
         S_full = jnp.broadcast_to(
-            S[..., None, :], (3, L, Wg, R, C)).reshape(3, L, Wg, n)
+            S8, (3, L, 8, R, F8)).reshape(3, L, 8, n8)
         gbuf = kernels.padd_batch(tbuf, S_full, curve, alias_p=True)
+        gflat = gbuf.reshape(3, L, 8 * n8)
 
         qs = jnp.arange(1, B + 2, dtype=I32) << 1            # key2 space
         cnt = jax.vmap(
@@ -123,12 +133,17 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         e = cnt[:, 1:] - 1                                   # (Wg, B)
         empty = cnt[:, 1:] == cnt[:, :B]
 
-        def tindex(p):                                       # global -> q
-            return (p % R) * C + (p // R)
+        def tindex(p):        # global position (per window row) -> flat j
+            f = wv * C + p // R
+            s = f // F8
+            v = f % F8
+            return s * n8 + (p % R) * F8 + v
 
         def gather_g(idx):                                   # idx (Wg, K)
-            ix = jnp.broadcast_to(idx[None, None], (3, L) + idx.shape)
-            return jnp.take_along_axis(gbuf, ix, axis=-1)
+            ix = jnp.broadcast_to(idx.reshape(-1)[None, None],
+                                  (3, L, idx.size))
+            out = jnp.take_along_axis(gflat, ix, axis=-1)
+            return out.reshape((3, L) + idx.shape)
 
         Ge = gather_g(tindex(jnp.maximum(e, 0)))             # (3,L,Wg,B)
 
@@ -136,7 +151,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # is always some earlier bucket's end) — a select-based forward
         # fill, seeded with G(end of the key-0 discard region)
         n0 = cnt[:, 0]                                       # |key-0 region|
-        G0 = gather_g(tindex(jnp.maximum(n0 - 1, 0))[:, None])
+        G0 = gather_g(tindex(jnp.maximum(n0 - 1, 0)[:, None]))
         G0 = jnp.where((n0 == 0)[None, None, :, None], inf_b[..., :1], G0)
         vals = jnp.concatenate([G0, Ge[..., :-1]], axis=-1)
         valid = jnp.concatenate(

@@ -68,8 +68,8 @@ def padd(p1: ProjPoint, p2: ProjPoint, curve: CurveParams,
     b3 = 3 * curve.b_coeff
 
     def mul(a, b):
-        return lazy.mont_mul(lazy.fold(a, curve), lazy.fold(b, curve),
-                             curve, unroll=unroll)
+        # mont_mul canonicalizes its operands itself (ripple + mask)
+        return lazy.mont_mul(a, b, curve, unroll=unroll)
 
     x1, y1, z1 = p1
     x2, y2, z2 = p2
@@ -103,8 +103,8 @@ def pmadd(p1: ProjPoint, x2: jnp.ndarray, y2: jnp.ndarray,
     uses a Montgomery constant multiply because Z1 is relaxed (< 4p) and a
     small-scale would overflow the product ledger."""
     def mul(a, b):
-        return lazy.mont_mul(lazy.fold(a, curve), lazy.fold(b, curve),
-                             curve, unroll=unroll)
+        # mont_mul canonicalizes its operands itself (ripple + mask)
+        return lazy.mont_mul(a, b, curve, unroll=unroll)
 
     b3 = 3 * curve.b_coeff
     x1, y1, z1 = p1
@@ -128,8 +128,8 @@ def pmadd(p1: ProjPoint, x2: jnp.ndarray, y2: jnp.ndarray,
 def pdbl(p: ProjPoint, curve: CurveParams, unroll: bool = True) -> ProjPoint:
     """RCB Algorithm 9 (complete doubling, a = 0). 6M + 2S + 1 const-mul."""
     def mul(a, b):
-        return lazy.mont_mul(lazy.fold(a, curve), lazy.fold(b, curve),
-                             curve, unroll=unroll)
+        # mont_mul canonicalizes its operands itself (ripple + mask)
+        return lazy.mont_mul(a, b, curve, unroll=unroll)
 
     x, y, z = p
     t0 = mul(y, y)

@@ -84,28 +84,45 @@ def fold(a: jnp.ndarray, curve: CurveParams, passes: int = 1) -> jnp.ndarray:
     return a
 
 
+def canonicalize(a: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
+    """Full carry ripple -> canonical limbs in [0, 2^w). Valid for any
+    signed limbs whose value lies in [0, 2^(w*L)) (arithmetic shifts
+    propagate borrows; the final carry-out is provably zero). The
+    stacked twin of rows.canon_rows."""
+    w = curve.log_limb_size
+    mask = jnp.int32((1 << w) - 1)
+    out = []
+    c = jnp.zeros(a.shape[1:], I32)
+    for j in range(a.shape[0]):
+        s = a[j] + c
+        out.append(s & mask)
+        c = s >> w
+    return jnp.stack(out)
+
+
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, curve: CurveParams,
              unroll: bool = True) -> jnp.ndarray:
     """Deferred-carry Montgomery multiply on signed lazy limbs.
 
-    Inputs: limbs |.| <= ~2^13, values in [0, 32p]. Output: canonical
-    limbs in [0, 2^w), value in [0, 2p). See module docstring for bounds;
-    algorithm mirrors ops/mont.py mont_mul_deferred with (i) arithmetic
-    shifts for signed carries, (ii) mask-based m extraction (two's
-    complement & gives the correct mod-2^w residue for negative t0), and
-    (iii) a final exact ripple instead of fold+conditional-subtract."""
+    Inputs: any signed limbs with values in [0, 32p] (both operands are
+    ripple-canonicalized first — on TPU this makes every limb product a
+    provably narrow w-bit multiply, the VPU fast path, and it pins the
+    m-digit sequence to the VALUE of b so all backends produce
+    bit-identical outputs). Output: canonical limbs in [0, 2^w), value
+    in [0, 2p); the final ripple's carry-out is provably zero."""
     L = curve.num_limbs
     w = curve.log_limb_size
     mask = jnp.int32((1 << w) - 1)
     n0 = jnp.int32(curve.n0)
     batch = a.shape[1:]
     zero_row = jnp.zeros((1,) + batch, I32)
-    a_pad = jnp.concatenate([a, zero_row], axis=0)
+    a_pad = jnp.concatenate([canonicalize(a, curve), zero_row], axis=0)
+    b = canonicalize(b, curve)
     p_pad = const_limbs(curve.p, curve, len(batch), num_limbs=L + 1)
 
     def step(t, bi):
         t = t + a_pad * bi[None]
-        m = (t[0] * n0) & mask
+        m = ((t[0] & mask) * n0) & mask
         t = t + p_pad * m[None]
         c0 = t[0] >> w
         return jnp.concatenate([(t[1] + c0)[None], t[2:], zero_row], axis=0)

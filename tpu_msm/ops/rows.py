@@ -88,6 +88,26 @@ def fold_rows(a: Rows, curve: CurveParams, passes: int = 1) -> Rows:
     return a
 
 
+def canon_rows(a: Rows, curve: CurveParams) -> Rows:
+    """Full carry ripple -> canonical limbs in [0, 2^w).
+
+    Valid for any signed limbs whose VALUE lies in [0, 2^(w*L)) — the
+    arithmetic shift propagates borrows, and a non-negative in-range
+    value makes the final carry-out zero. Every limb leaves through an
+    `& mask`, so Mosaic's range analysis can prove all downstream
+    multiplies are narrow (the 12x12 fast multiply path — unbounded
+    32-bit VPU multiplies are ~20x slower, see benches/probe9.py)."""
+    w = curve.log_limb_size
+    mask = jnp.int32((1 << w) - 1)
+    out = []
+    c = jnp.zeros_like(a[0])
+    for x in a:
+        s = x + c
+        out.append(s & mask)
+        c = s >> w
+    return out
+
+
 def select_rows(cond: jnp.ndarray, a: Rows, b: Rows) -> Rows:
     return [jnp.where(cond, x, y) for x, y in zip(a, b)]
 
@@ -95,21 +115,25 @@ def select_rows(cond: jnp.ndarray, a: Rows, b: Rows) -> Rows:
 def mont_mul_rows(a: Rows, b: Rows, curve: CurveParams) -> Rows:
     """Deferred-carry Montgomery multiply (lazy.mont_mul, list form).
 
-    Inputs: limbs |.| <= ~2^13, values in [0, 32p]. Output: canonical
-    limbs in [0, 2^w), value in [0, 2p). The final ripple's carry-out is
-    provably zero for non-negative values (see ops/lazy.py docstring)."""
+    Inputs: any signed limbs with values in [0, 32p]. Both operands are
+    ripple-canonicalized first so every product is a PROVABLY narrow
+    w-bit x w-bit multiply (Mosaic fast path; see canon_rows). The
+    m-digit sequence is value-determined once b is canonical, so this
+    stays bit-identical to the stacked twin (ops/lazy.py mont_mul).
+    Output: canonical limbs, value in [0, 2p)."""
     L = curve.num_limbs
     w = curve.log_limb_size
     mask = jnp.int32((1 << w) - 1)
     n0 = jnp.int32(curve.n0)
     p_pad = int_to_limbs(curve.p, L + 1, curve.log_limb_size)
     z = jnp.zeros_like(a[0])
-    a_pad = list(a) + [z]
+    a_pad = canon_rows(a, curve) + [z]
+    b = canon_rows(b, curve)
     t = [z] * (L + 1)
     for i in range(L):
         bi = b[i]
         t = [tj + aj * bi for tj, aj in zip(t, a_pad)]
-        m = (t[0] * n0) & mask
+        m = ((t[0] & mask) * n0) & mask
         t = [tj + m * pj if pj else tj for tj, pj in zip(t, p_pad)]
         c0 = t[0] >> w
         t = t[1:] + [z]
@@ -148,7 +172,8 @@ def _b3m(curve: CurveParams, like: jnp.ndarray) -> Rows:
 
 
 def _mul(a: Rows, b: Rows, curve: CurveParams) -> Rows:
-    return mont_mul_rows(fold_rows(a, curve), fold_rows(b, curve), curve)
+    # mont_mul_rows canonicalizes its operands itself (ripple + mask)
+    return mont_mul_rows(a, b, curve)
 
 
 def padd_rows(p1: ProjRows, p2: ProjRows, curve: CurveParams) -> ProjRows:
