@@ -12,6 +12,8 @@ Env knobs:
   BENCH_VERIFY  1 (default) to verify the result via the O(k) linearity
                 check (utils/preprocess.py), 0 to skip
   BENCH_WINDOW  override the window size from the default schedule
+  BENCH_CURVE   curve name (default bn254_s12; bls12_377_s12 for the
+                stretch-goal curve)
 Setup (vector generation, XLA compile) is excluded from timing, matching
 the reference's methodology (BASELINE.md "test-case setup time excluded";
 criterion benches pre-generate vectors, benches/e2e.rs:41).
@@ -57,12 +59,12 @@ def main() -> None:
 
     import jax
     from tpu_msm.config import default_config, MSMConfig
-    from tpu_msm.constants import BN254_S12
+    from tpu_msm.constants import BN254_S12, CURVES
     from tpu_msm.cuzk.pipeline import get_pipeline
     from tpu_msm.reference import curve as ref
     from tpu_msm.utils import preprocess
 
-    curve = BN254_S12
+    curve = CURVES[os.environ.get("BENCH_CURVE", "bn254_s12")]
     cfg = default_config(n, curve)
     if "BENCH_WINDOW" in os.environ:
         import dataclasses
@@ -123,13 +125,13 @@ def main() -> None:
         print(f"[bench] verify ({time.time()-t0:.1f}s): "
               f"{'EXACT MATCH' if ok else 'MISMATCH'}", file=sys.stderr)
         if not ok:
-            print(json.dumps({"metric": f"bn254_msm_2^{n.bit_length()-1}_ms",
+            print(json.dumps({"metric": f"{curve.name}_msm_2^{n.bit_length()-1}_ms",
                               "value": -1.0, "unit": "ms",
                               "vs_baseline": 0.0, "error": "verify failed"}))
             sys.exit(1)
 
     print(json.dumps({
-        "metric": f"bn254_msm_2^{n.bit_length()-1}_latency",
+        "metric": f"{curve.name}_msm_2^{n.bit_length()-1}_latency",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_for(n) / ms, 3),

@@ -34,21 +34,22 @@ def main():
     from tpu_msm.utils.cache import enable_compile_cache
     enable_compile_cache()
     from tpu_msm.config import MSMConfig
-    from tpu_msm.constants import BN254_S12
+    from tpu_msm.constants import BLS12_377_S12, BN254_S12
     from tpu_msm.cuzk.pipeline import tpu_variable_base_msm
     from tpu_msm.reference import curve as ref
 
-    C = BN254_S12
-    for (n, s, cols, t, wg) in [(1024, 8, 128, 16, 8),
-                                (4096, 10, 512, 64, 8),
-                                (3000, 12, 256, 128, 4)]:
+    cases = [(BN254_S12, 1024, 8, 128, 16, 8),
+             (BN254_S12, 4096, 10, 512, 64, 8),
+             (BN254_S12, 3000, 12, 256, 128, 4),
+             (BLS12_377_S12, 1024, 8, 128, 16, 8)]
+    for (C, n, s, cols, t, wg) in cases:
         pts, scalars = ref.gen_points_scalars(C, n, seed=1000 + n)
         cfg = MSMConfig(curve=C, window_size=s, columns=cols,
                         pbpr_threads=t, subtask_group=wg, backend="pallas")
         got = tpu_variable_base_msm(pts, scalars, config=cfg)
         want = ref.msm_pippenger_signed(C, pts, scalars, window=8)
         ok = ref.jac_eq(C, got, want)
-        print(f"e2e n={n} s={s}: {'MATCH' if ok else 'MISMATCH'}")
+        print(f"e2e {C.name} n={n} s={s}: {'MATCH' if ok else 'MISMATCH'}")
         if not ok:
             sys.exit(1)
     print("tpu_verify: ALL MATCH")

@@ -89,6 +89,7 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
         grid=(V // bv,),
         out_shape=jax.ShapeDtypeStruct((L, S, V), I32),
         in_specs=[spec], out_specs=spec,
+        input_output_aliases={0: 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(x3)
@@ -168,6 +169,49 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
         interpret=_interpret(),
     )(sx8, sy8, sign8.astype(I32))
     return tbuf
+
+
+def _globalize_kernel(t_ref, s_ref, o_ref, *, curve: CurveParams, L: int):
+    S = 8
+
+    def pt(ref):
+        def coord(c):
+            return [ref[(c * L + i) * S:(c * L + i + 1) * S, :]
+                    for i in range(L)]
+        return rows.ProjRows(coord(0), coord(1), coord(2))
+
+    out = rows.padd_rows(pt(t_ref), pt(s_ref), curve)
+    for c, coord in enumerate((out.x, out.y, out.z)):
+        for i in range(L):
+            o_ref[(c * L + i) * S:(c * L + i + 1) * S, :] = coord[i]
+
+
+def globalize(tbuf: jnp.ndarray, s8: jnp.ndarray, curve: CurveParams,
+              f8: int) -> jnp.ndarray:
+    """G[r-block] = T[r-block] + S (one complete add per stream position,
+    S broadcast across grid steps) — fused in the scan kernel's exact
+    (3*L*8, F8) block layout with the output aliased onto tbuf, so no
+    reshapes/retiles and no 4 GB temporaries at 2^24.
+
+    tbuf: (3*L*8, R*F8) prefix buffer from prefix_scan.
+    s8:   (3*L*8, F8) per-lane exclusive column prefix in kernel layout.
+    """
+    L8x3, n8 = tbuf.shape
+    R = n8 // f8
+    t_spec = pl.BlockSpec((L8x3, f8), lambda r: (0, r),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((L8x3, f8), lambda r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_globalize_kernel, curve=curve, L=L8x3 // 24),
+        grid=(R,),
+        out_shape=jax.ShapeDtypeStruct((L8x3, n8), I32),
+        in_specs=[t_spec, s_spec],
+        out_specs=t_spec,
+        input_output_aliases={0: 0},
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(tbuf, s8)
 
 
 # ---------------------------------------------------------------------------

@@ -74,10 +74,13 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     # ---- stage 1: Montgomery encode + signed decompose ----
     xm = kernels.encode_mont(xs, curve)
     ym = kernels.encode_mont(ys, curve)
-    digits = decompose.decompose(halfwords, cfg)            # (W, n)
+    # digits stored int16 (|d| <= 2^(s-1) <= 2^15 fits exactly) — at 2^24
+    # the digit buffer is 0.5 GB instead of 1 GB
+    digits = decompose.decompose(halfwords, cfg).astype(jnp.int16)
     if cfg.padded_windows > W:
         digits = jnp.concatenate(
-            [digits, jnp.zeros((cfg.padded_windows - W, n), I32)], axis=0)
+            [digits, jnp.zeros((cfg.padded_windows - W, n), jnp.int16)],
+            axis=0)
     dgroups = digits.reshape(G, Wg, n)
 
     inf_b = kernels.inf_stacked(curve, (Wg, B))
@@ -102,6 +105,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # permutation together: element-gathers of keys/signs by perm
         # cost ~100 ns/element on this chip, and a 3-operand lax.sort
         # falls off the fast bitonic path entirely (both profiled).
+        dg = dg.astype(I32)
         keys2 = (jnp.abs(dg) << 1) | (dg < 0).astype(I32)    # (Wg, n)
         skeys2, perm = jax.lax.sort(
             (keys2, iota), dimension=-1, num_keys=1, is_stable=False)
@@ -111,20 +115,18 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         sy8 = ym[:, perm8].reshape(L * 8, n8)
 
         # ---- stage 3: prefix scan + bucket extraction ----
-        tbuf = kernels.prefix_scan(
-            sx8, sy8, sign8, curve, F8).reshape(3, L, 8, n8)
+        tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
 
         # globalize: G[q] = T[r, c] + S_c (S = exclusive column-total
-        # prefix), applied over the FULL stream with one aliased
-        # padd_batch — after this, exactly ONE big gather is needed
-        coltot = tbuf[..., (R - 1) * F8:].reshape(3, L, Wg, C)
+        # prefix), fused over the stream in the scan's own block layout
+        # (kernels.globalize, aliased onto tbuf) — after this, exactly
+        # ONE big gather is needed per group
+        coltot = tbuf[:, (R - 1) * F8:].reshape(3, L, Wg, C)
         inf_c = kernels.inf_stacked(curve, (Wg, 1))
         excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
         S = _hs_scan_last(excl, curve)                       # exclusive
-        S8 = S.reshape(3, L, 8, 1, F8)
-        S_full = jnp.broadcast_to(
-            S8, (3, L, 8, R, F8)).reshape(3, L, 8, n8)
-        gbuf = kernels.padd_batch(tbuf, S_full, curve, alias_p=True)
+        s8 = S.reshape(3 * L * 8, F8)
+        gbuf = kernels.globalize(tbuf, s8, curve, F8)        # aliased
         gflat = gbuf.reshape(3, L, 8 * n8)
 
         qs = jnp.arange(1, B + 2, dtype=I32) << 1            # key2 space
