@@ -105,3 +105,14 @@ def test_e2e_bls12_377():
     pts, scalars = ref.gen_points_scalars(c, 96, seed=78)
     got = tpu_variable_base_msm(pts, scalars, config=cfg, curve=c)
     assert ref.jac_eq(c, got, msm_oracle(c, pts, scalars))
+
+
+def test_e2e_chunked_multi_pass():
+    # max_points_per_pass smaller than n: several device passes of one
+    # compiled program, combined on host (additivity of window sums)
+    import dataclasses
+    c = BN254_S12
+    cfg = dataclasses.replace(CFG, max_points_per_pass=64)
+    pts, scalars = ref.gen_points_scalars(c, 128, seed=79)
+    got = tpu_variable_base_msm(pts, scalars, config=cfg)
+    assert ref.jac_eq(c, got, msm_oracle(c, pts, scalars))

@@ -46,6 +46,12 @@ class MSMConfig:
     unroll: bool = True
     dbl_mode: str = "cond"
     backend: str = "auto"
+    # Points per device pass. Window sums are additive in the point set,
+    # so larger inputs run as several passes of one compiled program and
+    # combine on host with W point-adds — bounding HBM high-water (the
+    # prefix buffer alone is 3*L*4 bytes/point) the way the reference
+    # bounds launches by chunking subtasks (metal_msm.rs:458-471).
+    max_points_per_pass: int = 1 << 23
 
     def __post_init__(self):
         s = self.window_size

@@ -133,7 +133,29 @@ class MSMPipeline:
         """Run the device pipeline; decode per-window projective sums to
         Jacobian int tuples (Montgomery decode + relaxed-limb resolution on
         host, the role raw_reduction plays for the reference's readbacks,
-        mont_reduction.rs:15-40)."""
+        mont_reduction.rs:15-40).
+
+        Inputs larger than cfg.max_points_per_pass run as several device
+        passes of ONE compiled program (window sums are additive in the
+        point set); per-pass results combine with W host point-adds."""
+        cfg = self.config
+        n = xs.shape[-1]
+        chunk = cfg.max_points_per_pass
+        if n <= chunk:
+            return self._window_sums_one(xs, ys, halfwords)
+        total = None
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            part = self._window_sums_one(
+                xs[:, lo:hi], ys[:, lo:hi], halfwords[:, lo:hi])
+            if total is None:
+                total = part
+            else:
+                total = [ref.add(cfg.curve, a, b)
+                         for a, b in zip(total, part)]
+        return total
+
+    def _window_sums_one(self, xs, ys, halfwords) -> List[JacInt]:
         cfg = self.config
         c = cfg.curve
         g = self._fn(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(halfwords))
