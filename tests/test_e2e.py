@@ -22,6 +22,10 @@ def msm_oracle(c, pts, scalars):
     return ref.msm_pippenger_signed(c, pts, scalars, window=8)
 
 
+# NB: persistent-cache writes are disabled suite-wide in conftest.py (the
+# XLA CPU executable serializer segfaults on several e2e-sized programs).
+
+
 def test_e2e_random_256():
     c = BN254_S12
     pts, scalars = ref.gen_points_scalars(c, 256, seed=71)

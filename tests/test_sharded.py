@@ -17,6 +17,21 @@ CFG = MSMConfig(curve=C, window_size=8, columns=32, pbpr_threads=16,
                 subtask_group=8, backend="xla")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_compilation_cache():
+    """The 8-device CPU executables do not survive XLA's serialization
+    round-trip in this jaxlib (0.9.0): writing one SEGFAULTS the process
+    and reading a previously-written entry ABORTs in deserialize. Bypass
+    the persistent cache entirely for this module (reset_cache clears the
+    memoized is_cache_used decision so the flag takes effect)."""
+    from jax._src import compilation_cache as cc
+    cc.reset_cache()
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
+
+
 def msm_oracle(pts, scalars):
     return ref.msm_pippenger_signed(C, pts, scalars, window=8)
 

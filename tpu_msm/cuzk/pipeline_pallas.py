@@ -71,6 +71,16 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     R = n // C
     B = cfg.half_columns
 
+    F = Wg * C                  # lanes per kernel step
+    if F % 1024 and n != F:
+        # Mosaic block constraint: the (8, F/8) kernel tile needs its lane
+        # dim divisible by 128 unless the block spans the whole array
+        # (R == 1). Too-narrow streams (only n < 1024 with the default
+        # schedule) take the XLA path — tiny inputs are dispatch-latency
+        # bound anyway, the kernels buy nothing there.
+        from .pipeline import _windows_device
+        return _windows_device(xs, ys, halfwords, cfg=cfg)
+
     # ---- stage 1: Montgomery encode + signed decompose ----
     xm = kernels.encode_mont(xs, curve)
     ym = kernels.encode_mont(ys, curve)
@@ -81,12 +91,9 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         digits = jnp.concatenate(
             [digits, jnp.zeros((cfg.padded_windows - W, n), jnp.int16)],
             axis=0)
-    dgroups = digits.reshape(G, Wg, n)
 
     inf_b = kernels.inf_stacked(curve, (Wg, B))
 
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=I32), (Wg, n))
-    F = Wg * C                  # lanes per kernel step
     F8 = F // 8                 # kernel tile is (8, F8) — full sublanes
     n8 = R * F8
     wv = jnp.arange(Wg, dtype=I32)[:, None]
@@ -98,17 +105,22 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         return (a.reshape(Wg, C, R).transpose(2, 0, 1)
                 .reshape(R, 8, F8).swapaxes(0, 1).reshape(8, n8))
 
-    def group_body(_, dg):
-        # ---- stage 2: sort by bucket ----
-        # The sign bit is packed INTO the sort key (key2 = |d|<<1 | sign)
-        # so one fast 2-operand sort yields keys, signs, and the
-        # permutation together: element-gathers of keys/signs by perm
-        # cost ~100 ns/element on this chip, and a 3-operand lax.sort
-        # falls off the fast bitonic path entirely (both profiled).
-        dg = dg.astype(I32)
-        keys2 = (jnp.abs(dg) << 1) | (dg < 0).astype(I32)    # (Wg, n)
-        skeys2, perm = jax.lax.sort(
-            (keys2, iota), dimension=-1, num_keys=1, is_stable=False)
+    # ---- stage 2: ONE batched sort for ALL windows (hoisted out of the
+    # group loop — per-group sorts of few rows run sublane-starved). The
+    # sign bit is packed INTO the sort key (key2 = |d|<<1 | sign) so one
+    # fast 2-operand sort yields keys, signs, and the permutation
+    # together: element-gathers of keys/signs by perm cost ~100 ns/el on
+    # this chip, and a 3-operand lax.sort falls off the fast bitonic
+    # path entirely (all profiled).
+    d32 = digits.astype(I32)                                 # (Wp, n)
+    keys2_all = (jnp.abs(d32) << 1) | (d32 < 0).astype(I32)
+    iota_all = jnp.broadcast_to(jnp.arange(n, dtype=I32),
+                                (cfg.padded_windows, n))
+    skeys2_all, perm_all = jax.lax.sort(
+        (keys2_all, iota_all), dimension=-1, num_keys=1, is_stable=False)
+
+    def group_body(_, xs_slices):
+        skeys2, perm = xs_slices                             # (Wg, n) each
         perm8 = to_kernel8(perm)
         sign8 = to_kernel8(skeys2) & 1
         sx8 = xm[:, perm8].reshape(L * 8, n8)
@@ -116,45 +128,46 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
 
         # ---- stage 3: prefix scan + bucket extraction ----
         tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
+        tflat = tbuf.reshape(3, L, 8 * n8)
 
-        # globalize: G[q] = T[r, c] + S_c (S = exclusive column-total
-        # prefix), fused over the stream in the scan's own block layout
-        # (kernels.globalize, aliased onto tbuf) — after this, exactly
-        # ONE big gather is needed per group
+        # S = exclusive column-total prefix; extraction gathers T and S
+        # separately at the same bucket-end slots and combines with one
+        # (Wg, B+1)-lane padd (cheaper than adding S to all n positions)
         coltot = tbuf[:, (R - 1) * F8:].reshape(3, L, Wg, C)
         inf_c = kernels.inf_stacked(curve, (Wg, 1))
         excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
         S = _hs_scan_last(excl, curve)                       # exclusive
-        s8 = S.reshape(3 * L * 8, F8)
-        gbuf = kernels.globalize(tbuf, s8, curve, F8)        # aliased
-        gflat = gbuf.reshape(3, L, 8 * n8)
+        Sflat = S.reshape(3, L, Wg * C)
 
         qs = jnp.arange(1, B + 2, dtype=I32) << 1            # key2 space
         cnt = jax.vmap(
             lambda sk: jnp.searchsorted(sk, qs, side="left"))(skeys2)
         e = cnt[:, 1:] - 1                                   # (Wg, B)
         empty = cnt[:, 1:] == cnt[:, :B]
+        n0 = cnt[:, 0]                                       # |key-0 region|
 
-        def tindex(p):        # global position (per window row) -> flat j
-            f = wv * C + p // R
-            s = f // F8
-            v = f % F8
-            return s * n8 + (p % R) * F8 + v
+        # one combined gather: slot 0 is the key-0 region end (the G0
+        # seed), slots 1..B the bucket ends — a separate 1-element G0
+        # gather serializes the pipeline for ~30 ms/group (profiled)
+        p_all = jnp.concatenate(
+            [jnp.maximum(n0 - 1, 0)[:, None], jnp.maximum(e, 0)], axis=1)
+        c_all = p_all // R                                   # (Wg, B+1)
 
-        def gather_g(idx):                                   # idx (Wg, K)
+        def flat_gather(src, idx):                           # idx (Wg, K)
             ix = jnp.broadcast_to(idx.reshape(-1)[None, None],
                                   (3, L, idx.size))
-            out = jnp.take_along_axis(gflat, ix, axis=-1)
+            out = jnp.take_along_axis(src, ix, axis=-1)
             return out.reshape((3, L) + idx.shape)
 
-        Ge = gather_g(tindex(jnp.maximum(e, 0)))             # (3,L,Wg,B)
+        f_all = wv * C + c_all
+        jt = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
+        Tall = flat_gather(tflat, jt)                        # (3,L,Wg,B+1)
+        Sall = flat_gather(Sflat, f_all)
+        Gall = kernels.padd_batch(Tall, Sall, curve)
 
-        # G(start_b - 1) = Ge of the previous nonempty bucket (start-1
-        # is always some earlier bucket's end) — a select-based forward
-        # fill, seeded with G(end of the key-0 discard region)
-        n0 = cnt[:, 0]                                       # |key-0 region|
-        G0 = gather_g(tindex(jnp.maximum(n0 - 1, 0)[:, None]))
-        G0 = jnp.where((n0 == 0)[None, None, :, None], inf_b[..., :1], G0)
+        Ge = Gall[..., 1:]                                   # (3,L,Wg,B)
+        G0 = jnp.where((n0 == 0)[None, None, :, None],
+                       inf_b[..., :1], Gall[..., :1])
         vals = jnp.concatenate([G0, Ge[..., :-1]], axis=-1)
         valid = jnp.concatenate(
             [jnp.ones((Wg, 1), bool), (~empty)[..., :-1]], axis=-1)
@@ -172,7 +185,9 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         bucket = jnp.where(empty[None, None], inf_b, bucket)
         return None, bucket                                  # (3,L,Wg,B)
 
-    _, bk = jax.lax.scan(group_body, None, dgroups)
+    _, bk = jax.lax.scan(
+        group_body, None,
+        (skeys2_all.reshape(G, Wg, n), perm_all.reshape(G, Wg, n)))
     # (G, 3, L, Wg, B) -> (3, L, Wp, B)
     buckets = jnp.moveaxis(bk, 0, 2).reshape(3, L, cfg.padded_windows, B)
 
