@@ -154,10 +154,14 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         c_all = p_all // R                                   # (Wg, B+1)
 
         def flat_gather(src, idx):                           # idx (Wg, K)
-            ix = jnp.broadcast_to(idx.reshape(-1)[None, None],
-                                  (3, L, idx.size))
-            out = jnp.take_along_axis(src, ix, axis=-1)
-            return out.reshape((3, L) + idx.shape)
+            # points-major row gather: transpose the (3, L, N) stream to
+            # (N, 3L) and fetch whole point rows. take_along_axis along
+            # the last axis lowers to a ~48 ns/element scalar loop in
+            # this context (67% of device time at 2^16, profiled); the
+            # row form costs ~nothing over the no-gather floor.
+            pm = src.reshape(3 * L, src.shape[-1]).T         # (N, 3L)
+            rows = jnp.take(pm, idx.reshape(-1), axis=0)     # (K, 3L)
+            return rows.T.reshape((3, L) + idx.shape)
 
         f_all = wv * C + c_all
         jt = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
