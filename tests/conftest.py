@@ -11,6 +11,16 @@ effect — hence the explicit config update below.
 
 import os
 
+# XLA's CPU compiler recurses deeply on this suite's unrolled limb graphs;
+# the default 8 MB stack segfaults nondeterministically mid-compile
+# (observed on test_e2e_bls12_377). Raise the limit to the hard max.
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -32,15 +42,10 @@ if os.environ.get("TPU_MSM_TEST_TPU") != "1":
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-# XLA CPU's executable.serialize() SEGFAULTS on several of this suite's
-# executables (jaxlib 0.9.0, compilation_cache.py:265 — deterministic on
-# the tiny-n e2e pipelines and the 8-device sharded program, while most
-# others serialize fine). Cache WRITES are disabled for the whole suite
-# via an unreachable min-compile-time; READS still hit entries written by
-# benches/production runs, so warmed shapes stay fast. (On TPU the
-# serializer is a different code path and works — TPU_MSM_TEST_TPU=1 runs
-# keep normal caching.)
-if os.environ.get("TPU_MSM_TEST_TPU") == "1":
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-else:
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# The "executable.serialize() segfault" that previously forced CPU cache
+# writes OFF was the same 8 MB-stack overflow as the compile-time crashes
+# — with RLIMIT_STACK raised (top of this file) serialize works on the
+# exact program class that used to crash (verified on the tiny-n e2e
+# pipeline), so writes are enabled everywhere. If a segfault in
+# compilation_cache.py reappears, check the stack limit first.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -9,14 +9,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tpu_msm.constants import BLS12_377_S12, BN254_S12
+from tpu_msm.constants import BLS12_377_S12, BN254_S12, BN254_S13
 from tpu_msm.ops import complete, lazy
 from tpu_msm.reference import curve as ref
 from tpu_msm.utils.limbs_conversion import (ints_to_planar,
                                             planar_signed_to_ints_modp)
 
 rng = random.Random(41)
-CURVES = [BN254_S12, BLS12_377_S12]
+CURVES = [BN254_S12, BLS12_377_S12, BN254_S13]
 
 
 def enc_proj(pts, c):

@@ -120,3 +120,17 @@ def test_e2e_chunked_multi_pass():
     pts, scalars = ref.gen_points_scalars(c, 128, seed=79)
     got = tpu_variable_base_msm(pts, scalars, config=cfg)
     assert ref.jac_eq(c, got, msm_oracle(c, pts, scalars))
+
+
+def test_e2e_bn254_s13_profile():
+    # 13-bit/21-limb signed profile: exercises the mid-loop carry fold in
+    # the Montgomery multipliers (constants.signed_fold_interval(13) < L)
+    from tpu_msm.constants import BN254_S13
+    c = BN254_S13
+    cfg = MSMConfig(curve=c, window_size=8, columns=32,
+                    pbpr_threads=16, subtask_group=8)
+    pts, scalars = ref.gen_points_scalars(c, 128, seed=79)
+    scalars[0] = 0
+    scalars[1] = c.scalar_modulus - 1
+    got = tpu_variable_base_msm(pts, scalars, config=cfg)
+    assert ref.jac_eq(c, got, msm_oracle(c, pts, scalars))

@@ -9,12 +9,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tpu_msm.constants import BLS12_377_S12, BN254_S12
+from tpu_msm.constants import BLS12_377_S12, BLS12_377_S13, BN254_S12, BN254_S13
 from tpu_msm.ops import lazy
 from tpu_msm.utils.limbs_conversion import ints_to_planar
 
 rng = random.Random(31)
-CURVES = [BN254_S12, BLS12_377_S12]
+CURVES = [BN254_S12, BLS12_377_S12, BN254_S13, BLS12_377_S13]
 
 
 def decode(arr, curve):

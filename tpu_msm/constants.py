@@ -200,6 +200,22 @@ class CurveParams:
 # Concrete curves
 # ---------------------------------------------------------------------------
 
+def signed_fold_interval(log_limb_size: int) -> int:
+    """Safe iteration count between carry folds in the SIGNED deferred-carry
+    Montgomery loop (ops/lazy.py mont_mul, ops/rows.py mont_mul_rows).
+
+    Each loop iteration adds two products of canonical w-bit limbs to an
+    int32 accumulator slot, plus carry fold-ins bounded by 2^(w+6) per
+    iteration (the t[0] carry and the residue of a previous fold pass).
+    K iterations between folds are safe when
+    K * (2*(2^w-1)^2 + 2^(w+6)) < 2^31. For w=12 this returns 63 (> L for
+    every registered profile — no folds, bit-for-bit the historical code
+    path); for w=13 it returns 15 (one mid-loop fold at L=21/30)."""
+    w = log_limb_size
+    per_iter = 2 * ((1 << w) - 1) ** 2 + (1 << (w + 6))
+    return max(1, ((1 << 31) - (1 << (w + 2))) // per_iter)
+
+
 def deferred_carry_headroom(num_limbs: int, log_limb_size: int) -> float:
     """Safety ratio for the deferred-carry Montgomery multiplier
     (ops/mont.py mont_mul_deferred): accumulating 2 products per limb per
@@ -250,8 +266,27 @@ BLS12_377_F12 = dataclasses.replace(BLS12_377, name="bls12_377_f12", num_limbs=3
 BN254_S12 = dataclasses.replace(BN254, name="bn254_s12", num_limbs=22, log_limb_size=12)
 BLS12_377_S12 = dataclasses.replace(BLS12_377, name="bls12_377_s12", num_limbs=32, log_limb_size=12)
 
+# 13-bit signed profiles: ~9% fewer limb products per Montgomery multiply
+# (L(2L+3): 945 vs 1034 for BN254) at the cost of one value-preserving
+# mid-loop carry fold (signed_fold_interval(13) == 15 < L). 13x13-bit
+# products still ride the Mosaic narrow-multiply fast path (<= 16x16).
+# L is set by the RELAXED-OPERAND product bound, not by p alone: the
+# complete-formula pipeline multiplies operands up to ~8p..54p, so the
+# radix needs ~8 bits of slack over p (BN254 at L=20 / 6 slack bits
+# produces wrong MSMs — verified empirically; L=21 / 19 bits is safe,
+# matching BLS12_377_S12's proven 7.4-bit floor with margin).
+BN254_S13 = dataclasses.replace(BN254, name="bn254_s13", num_limbs=21, log_limb_size=13)
+BLS12_377_S13 = dataclasses.replace(BLS12_377, name="bls12_377_s13", num_limbs=30, log_limb_size=13)
+
 assert deferred_carry_headroom(BN254_F13.num_limbs, 13) > 1.5
 assert deferred_carry_headroom(BLS12_377_F12.num_limbs, 12) > 1.5
+# slack floor for the signed profiles: every transient of the
+# complete-formula ledger (<= 54p operands, products <= R*p) must fit the
+# radix; >= 8 slack bits is the empirically safe line (see BN254_S13 note)
+for _c in (BN254_S12, BLS12_377_S12, BN254_S13, BLS12_377_S13):
+    _slack = _c.num_limbs * _c.log_limb_size - _c.p.bit_length()
+    assert _slack >= 7, (_c.name, _slack)
 
 CURVES = {c.name: c for c in (BN254, BLS12_377, BN254_F13, BLS12_377_F12,
-                              BN254_S12, BLS12_377_S12)}
+                              BN254_S12, BLS12_377_S12,
+                              BN254_S13, BLS12_377_S13)}

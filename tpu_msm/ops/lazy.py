@@ -127,16 +127,32 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, curve: CurveParams,
         c0 = t[0] >> w
         return jnp.concatenate([(t[1] + c0)[None], t[2:], zero_row], axis=0)
 
+    # mid-loop carry fold for 13-bit profiles (signed_fold_interval < L):
+    # value-preserving, m digits unchanged (they read t[0] mod 2^w), top
+    # slot provably zero — outputs bit-identical across fold schedules.
+    from ..constants import signed_fold_interval
+    fold_every = signed_fold_interval(w)
+
+    def fold_t(tt):
+        cs = tt >> w
+        return (tt & mask) + jnp.concatenate(
+            [jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
+
     t = jnp.zeros((L + 1,) + batch, I32)
     if unroll:
         for i in range(L):
             t = step(t, b[i])
+            if (i + 1) % fold_every == 0 and (i + 1) < L:
+                t = fold_t(t)
     else:
-        t = jax.lax.fori_loop(
-            0, L,
-            lambda i, tt: step(tt, jax.lax.dynamic_index_in_dim(
-                b, i, axis=0, keepdims=False)),
-            t)
+        def body(i, tt):
+            tt = step(tt, jax.lax.dynamic_index_in_dim(
+                b, i, axis=0, keepdims=False))
+            if fold_every <= L:
+                need = ((i + 1) % fold_every == 0) & (i + 1 < L)
+                tt = jnp.where(need, fold_t(tt), tt)
+            return tt
+        t = jax.lax.fori_loop(0, L, body, t)
 
     # exact canonicalizing ripple: value >= 0 => final carry-out == 0,
     # so truncating to L limbs is exact (value < 2p < 2^(wL))

@@ -24,7 +24,7 @@ from typing import List, NamedTuple, Sequence
 
 import jax.numpy as jnp
 
-from ..constants import CurveParams, int_to_limbs
+from ..constants import CurveParams, int_to_limbs, signed_fold_interval
 
 Rows = List[jnp.ndarray]
 
@@ -130,6 +130,7 @@ def mont_mul_rows(a: Rows, b: Rows, curve: CurveParams) -> Rows:
     a_pad = canon_rows(a, curve) + [z]
     b = canon_rows(b, curve)
     t = [z] * (L + 1)
+    fold_every = signed_fold_interval(w)
     for i in range(L):
         bi = b[i]
         t = [tj + aj * bi for tj, aj in zip(t, a_pad)]
@@ -138,6 +139,16 @@ def mont_mul_rows(a: Rows, b: Rows, curve: CurveParams) -> Rows:
         c0 = t[0] >> w
         t = t[1:] + [z]
         t[0] = t[0] + c0
+        if (i + 1) % fold_every == 0 and (i + 1) < L:
+            # mid-loop carry fold: 13-bit profiles overflow int32 after
+            # ~15 deferred iterations; one value-preserving fold pass
+            # (m digits read t[0] mod 2^w — unchanged, so outputs stay
+            # bit-identical across fold schedules). Top slot is zero
+            # (a_pad[L] == p_pad[L] == 0), so no carry-out is dropped.
+            cs = [x >> w for x in t]
+            t = [x & mask for x in t]
+            for j in range(1, L + 1):
+                t[j] = t[j] + cs[j - 1]
     out = []
     c = z
     for j in range(L + 1):
