@@ -66,9 +66,13 @@ def main() -> None:
 
     curve = CURVES[os.environ.get("BENCH_CURVE", "bn254_s12")]
     cfg = default_config(n, curve)
+    import dataclasses
     if "BENCH_WINDOW" in os.environ:
-        import dataclasses
         cfg = dataclasses.replace(cfg, window_size=int(os.environ["BENCH_WINDOW"]))
+    if "BENCH_OVERRIDES" in os.environ:
+        # JSON dict of MSMConfig field overrides, e.g.
+        # '{"columns": 16384, "max_points_per_pass": 16777216}'
+        cfg = dataclasses.replace(cfg, **json.loads(os.environ["BENCH_OVERRIDES"]))
     pipe = get_pipeline(cfg)
 
     print(f"[bench] n=2^{n.bit_length()-1} cfg: s={cfg.window_size} "

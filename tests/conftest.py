@@ -12,14 +12,41 @@ effect — hence the explicit config update below.
 import os
 
 # XLA's CPU compiler recurses deeply on this suite's unrolled limb graphs;
-# the default 8 MB stack segfaults nondeterministically mid-compile
-# (observed on test_e2e_bls12_377). Raise the limit to the hard max.
+# the default 8 MB stack segfaults mid-compile (observed on
+# test_e2e_bls12_377). Raising the rlimit in-process is NOT enough: jax is
+# pre-imported before this conftest and XLA sizes its compile-thread
+# stacks from the limit in force at startup — so raise the limit and
+# re-exec the interpreter once (`ulimit -s unlimited` before pytest is the
+# manual equivalent).
 try:
     import resource
     _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    _needs_reexec = _soft != _hard
+    if _needs_reexec:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 except (ImportError, ValueError, OSError):
-    pass
+    _needs_reexec = False
+
+
+def pytest_configure(config):
+    # The re-exec must happen inside pytest_configure, NOT at conftest
+    # import: pytest's capture plugin owns fds 1/2 by conftest-import
+    # time, so an exec'd process would write its entire output into the
+    # orphaned capture tempfile (observed as a silent exit-0 run).
+    # stop_global_capturing restores the real fds first. The -m form is
+    # required: argv[0] under `python -m pytest` is pytest's __main__.py,
+    # and running that path as a script silently no-ops.
+    import sys
+    if _needs_reexec and os.environ.get("_TPU_MSM_STACK_REEXEC") != "1":
+        os.environ["_TPU_MSM_STACK_REEXEC"] = "1"
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            try:
+                capman.stop_global_capturing()
+            except Exception:
+                pass
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "pytest"] + sys.argv[1:])
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -47,5 +74,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # — with RLIMIT_STACK raised (top of this file) serialize works on the
 # exact program class that used to crash (verified on the tiny-n e2e
 # pipeline), so writes are enabled everywhere. If a segfault in
-# compilation_cache.py reappears, check the stack limit first.
+# compilation_cache.py reappears, check the stack limit first; if it
+# persists at the hard limit, add the test to _SERIALIZE_DENYLIST below.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+# Modules whose executables crash XLA-CPU's executable.serialize()
+# (jaxlib bug — test_e2e_single_point_and_tiny segfaults and
+# test_e2e_second_config_shapes aborts inside put_executable_and_time,
+# both odd-shape tiny-n pipelines, EVEN with unlimited thread stacks via
+# the re-exec above — so this is not stack exhaustion, unlike the
+# in-compile crashes the re-exec does fix). Cache writes are disabled for
+# these modules' tests; reads still hit entries from benches/production.
+_SERIALIZE_DENYLIST_MODULES = {"test_e2e"}
+
+
+@pytest.fixture(autouse=True)
+def _serialize_guard(request):
+    base = request.node.module.__name__.rpartition(".")[-1]
+    if base in _SERIALIZE_DENYLIST_MODULES:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+        yield
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        yield

@@ -385,14 +385,15 @@ def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,
     _, L, W, B = buckets.shape
     T = min(threads, B)
     Bt = B // T
-    # arrange: block j holds bucket (t*Bt + Bt-1-j) for every slice t
-    t_idx = jnp.arange(T)
-    j_idx = jnp.arange(Bt)
-    b_of = (t_idx[None, :] * Bt + (Bt - 1 - j_idx)[:, None])  # (Bt, T)
+    # arrange: block j holds bucket (t*Bt + Bt-1-j) for every slice t.
+    # The permutation is STRUCTURED (slice-major with reversed in-slice
+    # order), so it lowers as reshape + flip + transpose — pure data
+    # movement, no lane-axis gather (a jnp.take over the B axis walked
+    # the whole (3LW, B) bucket array element-wise: ~138 MB of gather
+    # traffic per pass at the 2^24 config).
     # arr[j, (c*L + i)*W + w, t] = buckets[c, i, w, t*Bt + Bt-1-j]
-    sel = jnp.take(buckets.reshape(3 * L * W, B), b_of.reshape(-1), axis=-1)
-    sel = sel.reshape(3 * L * W, Bt, T)
-    arr = jnp.moveaxis(sel, 1, 0).reshape(Bt * 3 * L * W, T)
+    sel = buckets.reshape(3 * L * W, T, Bt)[:, :, ::-1]
+    arr = jnp.moveaxis(sel, 2, 0).reshape(Bt * 3 * L * W, T)
     in_spec = pl.BlockSpec((3 * L * W, T), lambda j: (j, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((3 * L * W, T), lambda j: (0, 0),
