@@ -21,9 +21,16 @@ import os
 try:
     import resource
     _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    _needs_reexec = _soft != _hard
+    # A large FINITE limit, not RLIM_INFINITY: glibc sizes new pthread
+    # stacks from the soft limit only when it is finite — with
+    # "unlimited" they fall back to the 8 MB default, and XLA's
+    # compile-pool threads still overflow on the deep unrolled graphs.
+    _want = 2 << 30
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    _needs_reexec = _soft != _want
     if _needs_reexec:
-        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 except (ImportError, ValueError, OSError):
     _needs_reexec = False
 
