@@ -52,12 +52,41 @@ def baseline_for(n: int) -> float:
                        t * math.log2(REFERENCE_MS[hi])))
 
 
+def _tpu_relay_reachable(timeout_s: float = 5.0) -> bool:
+    """The axon TPU plugin retries backend init forever when its loopback
+    relay is down, hanging `jax.devices()` (and this script) indefinitely.
+    Probe the relay port first so a dead tunnel yields a diagnostic JSON
+    line instead of a silent hang."""
+    import socket
+    host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+    try:
+        with socket.create_connection((host, 8082), timeout=timeout_s):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     n = int(os.environ.get("BENCH_N", 1 << 16))
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _tpu_relay_reachable():
+        print("[bench] axon TPU relay unreachable (port 8082 closed); "
+              "refusing to hang in backend init", file=sys.stderr)
+        print(json.dumps({"metric": "msm_latency", "value": -1.0,
+                          "unit": "ms", "vs_baseline": 0.0,
+                          "error": "tpu relay unreachable"}))
+        sys.exit(1)
     runs = int(os.environ.get("BENCH_RUNS", 3))
     verify = os.environ.get("BENCH_VERIFY", "1") == "1"
 
     import jax
+    # With the axon TPU plugin registered at interpreter startup, the
+    # JAX_PLATFORMS *environment variable* is ignored (the plugin's
+    # sitecustomize import of jax consumed it); only the config call
+    # takes effect — mirror tests/conftest.py so `JAX_PLATFORMS=cpu
+    # python bench.py` actually runs on CPU instead of hanging in axon
+    # backend init when the relay is down.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from tpu_msm.config import default_config, MSMConfig
     from tpu_msm.constants import BN254_S12, CURVES
     from tpu_msm.cuzk.pipeline import get_pipeline

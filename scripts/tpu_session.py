@@ -57,6 +57,11 @@ def main():
          "duel_s12_2^16", 1800),
         ({"BENCH_N": 1 << 16, "BENCH_CURVE": "bn254_s13", "BENCH_RUNS": 3},
          "duel_s13_2^16", 1800),
+        # GLV duel: halves the W-proportional stages (extraction/PBPR/
+        # per-window overheads) at unchanged scan/sort op counts — the
+        # prime suspect for the e2e-vs-roofline gap (docs/perf_notes.md)
+        ({"BENCH_N": 1 << 16, "BENCH_CURVE": "bn254_s13", "BENCH_RUNS": 3,
+          "BENCH_OVERRIDES": '{"glv": true}'}, "glv_2^16", 1800),
     ]
     if not quick:
         cases += [
@@ -64,6 +69,9 @@ def main():
               "BENCH_RUNS": 3}, "duel_s12_2^20", 2400),
             ({"BENCH_N": 1 << 20, "BENCH_CURVE": "bn254_s13",
               "BENCH_RUNS": 3}, "duel_s13_2^20", 2400),
+            ({"BENCH_N": 1 << 20, "BENCH_CURVE": "bn254_s13",
+              "BENCH_RUNS": 3, "BENCH_OVERRIDES": '{"glv": true}'},
+             "glv_2^20", 2400),
             # 2. shape sweep at 2^24 (s is capped at 16 by the int16
             # digit buffer; sweep the column/pass shape instead)
             ({"BENCH_N": 1 << 24, "BENCH_RUNS": 1}, "2^24_default", 3600),

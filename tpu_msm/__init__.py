@@ -26,6 +26,8 @@ __all__ = [
     "tpu_variable_base_msm",
     "MSMPipeline",
     "MSMConfig",
+    "to_affine",
+    "batch_inverse",
 ]
 
 
@@ -36,4 +38,8 @@ def __getattr__(name):
         from .cuzk import pipeline
 
         return getattr(pipeline, name)
+    if name in ("to_affine", "batch_inverse"):
+        from .ops import inverse
+
+        return getattr(inverse, name)
     raise AttributeError(name)

@@ -31,7 +31,12 @@ class MSMConfig:
         memory like the reference's 4-subtasks-per-dispatch chunking
         (metal_msm.rs:458-459).
     unroll: unrolled (fused) Montgomery muls in the hot scan body; rolled
-        elsewhere for small graphs.
+        elsewhere for small graphs. None (default) resolves by backend at
+        trace time: unrolled on TPU, scan-form elsewhere — XLA-CPU's
+        compiler recurses so deeply on the fully unrolled limb graphs of
+        the wide profiles (30-limb BLS12-377) that it overflows even
+        multi-GB compile-thread stacks; the rolled form is bit-identical
+        (tests/test_lazy.py) and compiles in seconds.
     dbl_mode: exceptional-case strategy in jac_add ("cond" | "select").
     backend: "pallas" (Mosaic kernels, cuzk/pipeline_pallas.py — the
         production TPU path), "xla" (pure-jnp reference path,
@@ -43,9 +48,16 @@ class MSMConfig:
     columns: int = 256
     pbpr_threads: int = 128
     subtask_group: int = 4
-    unroll: bool = True
+    unroll: bool | None = None
     dbl_mode: str = "cond"
     backend: str = "auto"
+    # GLV endomorphism decomposition (tpu_msm/glv.py, cuzk/glv.py): split
+    # each scalar over the curve's cube-root-of-unity endomorphism so the
+    # pipeline runs 2n points x ~half the windows — halving every
+    # W-proportional stage (extraction, PBPR, Horner). Off by default
+    # until the TPU stage breakdown picks the per-size winners
+    # (docs/perf_notes.md).
+    glv: bool = False
     # Points per device pass. Window sums are additive in the point set,
     # so larger inputs run as several passes of one compiled program and
     # combine on host with W point-adds — bounding HBM high-water (the
@@ -67,14 +79,47 @@ class MSMConfig:
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto | xla | pallas")
         # top window must not overflow under signed-digit carry
-        top_bits = self.curve.scalar_bits - s * (self.num_windows - 1)
-        if top_bits >= s:
+        top_bits = self.effective_scalar_bits - s * (self.num_windows - 1)
+        if top_bits >= s and not self.glv:
+            # (the glv window formula below guarantees top_bits < s)
             raise ValueError("window_size incompatible with scalar width")
+
+    @property
+    def unroll_resolved(self) -> bool:
+        """Trace-time unroll decision (see `unroll` above). Lazy jax
+        import keeps `tpu_msm.config` importable host-only."""
+        if self.unroll is not None:
+            return self.unroll
+        import jax
+        return jax.default_backend() == "tpu"
+
+    @property
+    def glv_params(self):
+        """Derived GLV constants for this curve (tpu_msm/glv.py)."""
+        from . import glv
+        return glv.derive(self.curve)
+
+    @property
+    def effective_scalar_bits(self) -> int:
+        """Bit width the window decomposition must cover: the scalar
+        modulus width, or under GLV the split-magnitude bound + 1
+        headroom bit (|k_i| <= max_abs < 2^max_bits = 2^(eff-1), which
+        the carry-safety argument in cuzk/decompose.signed_digits
+        needs)."""
+        if self.glv:
+            return self.glv_params.max_bits + 1
+        return self.curve.scalar_bits
 
     @property
     def num_windows(self) -> int:
         """ceil(scalar_bits / s) — num_subtasks in the reference
-        (metal_msm.rs:83-85)."""
+        (metal_msm.rs:83-85). Under GLV: eff//s + 1, which equals the
+        ceil except when s divides eff — there the extra window absorbs
+        the signed-digit carry out of a full top window (magnitudes are
+        only bounded by 2^(eff-1), not by a modulus with known top
+        bits)."""
+        if self.glv:
+            return self.effective_scalar_bits // self.window_size + 1
         return -(-self.curve.scalar_bits // self.window_size)
 
     @property

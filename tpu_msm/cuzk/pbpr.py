@@ -56,8 +56,8 @@ def bucket_reduce(buckets: ProjPoint, cfg: MSMConfig) -> ProjPoint:
         m, g = state
         idx = Bt - 1 - j  # walk each slice from its top bucket down
         pt = ProjPoint(_dyn(sx, idx), _dyn(sy, idx), _dyn(sz, idx))
-        m = padd(m, pt, curve, unroll=cfg.unroll)
-        g = padd(g, m, curve, unroll=cfg.unroll)
+        m = padd(m, pt, curve, unroll=cfg.unroll_resolved)
+        g = padd(g, m, curve, unroll=cfg.unroll_resolved)
         return m, g
 
     m0 = proj_infinity(curve, (W, T))

@@ -48,11 +48,15 @@ def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
     per window group -> PBPR. Returns per-window sums, ProjPoint (L, Wp)."""
     curve = cfg.curve
     L = curve.num_limbs
-    n = xs.shape[-1]
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
 
-    xm, ym = decompose.points_to_mont(xs, ys, curve, unroll=cfg.unroll)
-    digits = decompose.decompose(halfwords, cfg)  # (W, n)
+    xm, ym = decompose.points_to_mont(xs, ys, curve, unroll=cfg.unroll_resolved)
+    if cfg.glv:
+        from . import glv as glv_dev
+        xm, ym, digits = glv_dev.apply_glv(xm, ym, halfwords, cfg)
+    else:
+        digits = decompose.decompose(halfwords, cfg)  # (W, n)
+    n = xm.shape[-1]  # 2x the input lanes under glv
     if cfg.padded_windows > W:
         digits = jnp.concatenate(
             [digits, jnp.zeros((cfg.padded_windows - W, n), I32)], axis=0)
@@ -140,7 +144,8 @@ class MSMPipeline:
         point set); per-pass results combine with W host point-adds."""
         cfg = self.config
         n = xs.shape[-1]
-        chunk = cfg.max_points_per_pass
+        # glv doubles the on-device stream lanes per input point
+        chunk = cfg.max_points_per_pass // (2 if cfg.glv else 1)
         if n <= chunk:
             return self._window_sums_one(xs, ys, halfwords)
         total = None

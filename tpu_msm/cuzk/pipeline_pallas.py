@@ -65,7 +65,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
                            cfg: MSMConfig) -> ProjPoint:
     curve = cfg.curve
     L = curve.num_limbs
-    n = xs.shape[-1]
+    n = (2 if cfg.glv else 1) * xs.shape[-1]   # stream lanes (2x under glv)
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
     C = min(cfg.columns, n)
     R = n // C
@@ -84,9 +84,14 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     # ---- stage 1: Montgomery encode + signed decompose ----
     xm = kernels.encode_mont(xs, curve)
     ym = kernels.encode_mont(ys, curve)
-    # digits stored int16 (|d| <= 2^(s-1) <= 2^15 fits exactly) — at 2^24
-    # the digit buffer is 0.5 GB instead of 1 GB
-    digits = decompose.decompose(halfwords, cfg).astype(jnp.int16)
+    if cfg.glv:
+        from . import glv as glv_dev
+        xm, ym, digits = glv_dev.apply_glv(xm, ym, halfwords, cfg)
+        digits = digits.astype(jnp.int16)
+    else:
+        # digits stored int16 (|d| <= 2^(s-1) <= 2^15 fits exactly) — at
+        # 2^24 the digit buffer is 0.5 GB instead of 1 GB
+        digits = decompose.decompose(halfwords, cfg).astype(jnp.int16)
     if cfg.padded_windows > W:
         digits = jnp.concatenate(
             [digits, jnp.zeros((cfg.padded_windows - W, n), jnp.int16)],

@@ -96,7 +96,7 @@ def bucket_accumulate(xs_m: jnp.ndarray, ys_m: jnp.ndarray,
         k = _dyn(kt, r)
         x = _dyn(sx, r)
         y = _dyn(sy, r)
-        summed = pmadd(carry, x, y, curve, unroll=cfg.unroll)
+        summed = pmadd(carry, x, y, curve, unroll=cfg.unroll_resolved)
         val = select(_dyn(brk, r), ProjPoint(x, y, one_m), summed)
         idx = jnp.where(_dyn(ends, r), k, sentinel)
         bucket = ProjPoint(
