@@ -340,7 +340,10 @@ def inf_stacked(curve: CurveParams, batch_shape: Tuple[int, ...]) -> jnp.ndarray
 
 
 def _pbpr_kernel(b_ref, m_ref, g_ref, mg_ref, *, curve: CurveParams,
-                 L: int, W: int, Bt: int):
+                 L: int, W: int, Bt: int, goff: int):
+    """goff = row offset of the g accumulator inside mg_ref (the padded
+    per-block row count; rows [3LW, goff) are alignment padding and are
+    never read or written)."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -351,18 +354,20 @@ def _pbpr_kernel(b_ref, m_ref, g_ref, mg_ref, *, curve: CurveParams,
             for c in range(3):
                 v = zero + one[i] if c == 1 else zero
                 mg_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = v
-                mg_ref[(3 * L + c * L + i) * W:(3 * L + c * L + i + 1) * W, :] = v
+                mg_ref[goff + (c * L + i) * W:
+                       goff + (c * L + i + 1) * W, :] = v
 
     def pt_rows(ref, base):
         return rows.ProjRows(
-            [ref[(base + i) * W:(base + i + 1) * W, :] for i in range(L)],
-            [ref[(base + L + i) * W:(base + L + i + 1) * W, :] for i in range(L)],
-            [ref[(base + 2 * L + i) * W:(base + 2 * L + i + 1) * W, :]
+            [ref[base + i * W:base + (i + 1) * W, :] for i in range(L)],
+            [ref[base + (L + i) * W:base + (L + i + 1) * W, :]
+             for i in range(L)],
+            [ref[base + (2 * L + i) * W:base + (2 * L + i + 1) * W, :]
              for i in range(L)])
 
     bucket = pt_rows(b_ref, 0)
     m = pt_rows(mg_ref, 0)
-    g = pt_rows(mg_ref, 3 * L)
+    g = pt_rows(mg_ref, goff)
     m = rows.padd_rows(m, bucket, curve)
     g = rows.padd_rows(g, m, curve)
     for i in range(L):
@@ -370,7 +375,8 @@ def _pbpr_kernel(b_ref, m_ref, g_ref, mg_ref, *, curve: CurveParams,
             mg_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = coord[i]
             m_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = coord[i]
         for c, coord in enumerate((g.x, g.y, g.z)):
-            mg_ref[(3 * L + c * L + i) * W:(3 * L + c * L + i + 1) * W, :] = coord[i]
+            mg_ref[goff + (c * L + i) * W:
+                   goff + (c * L + i + 1) * W, :] = coord[i]
             g_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = coord[i]
 
 
@@ -392,21 +398,31 @@ def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,
     # the whole (3LW, B) bucket array element-wise: ~138 MB of gather
     # traffic per pass at the 2^24 config).
     # arr[j, (c*L + i)*W + w, t] = buckets[c, i, w, t*Bt + Bt-1-j]
-    sel = buckets.reshape(3 * L * W, T, Bt)[:, :, ::-1]
-    arr = jnp.moveaxis(sel, 2, 0).reshape(Bt * 3 * L * W, T)
-    in_spec = pl.BlockSpec((3 * L * W, T), lambda j: (j, 0),
+    # Mosaic block constraint: the per-block row count must be a multiple
+    # of 8 (sublane tile); 3LW isn't for odd-limb profiles (e.g. the
+    # 21-limb 13-bit BN254), so each block is row-padded to rw8 and the
+    # padding rows are never touched.
+    rw = 3 * L * W
+    rw8 = -(-rw // 8) * 8
+    sel = buckets.reshape(rw, T, Bt)[:, :, ::-1]
+    arr = jnp.moveaxis(sel, 2, 0)                           # (Bt, rw, T)
+    if rw8 != rw:
+        arr = jnp.pad(arr, ((0, 0), (0, rw8 - rw), (0, 0)))
+    arr = arr.reshape(Bt * rw8, T)
+    in_spec = pl.BlockSpec((rw8, T), lambda j: (j, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((3 * L * W, T), lambda j: (0, 0),
+    out_spec = pl.BlockSpec((rw8, T), lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
     m, g = pl.pallas_call(
-        functools.partial(_pbpr_kernel, curve=curve, L=L, W=W, Bt=Bt),
+        functools.partial(_pbpr_kernel, curve=curve, L=L, W=W, Bt=Bt,
+                          goff=rw8),
         grid=(Bt,),
-        out_shape=(jax.ShapeDtypeStruct((3 * L * W, T), I32),
-                   jax.ShapeDtypeStruct((3 * L * W, T), I32)),
+        out_shape=(jax.ShapeDtypeStruct((rw8, T), I32),
+                   jax.ShapeDtypeStruct((rw8, T), I32)),
         in_specs=[in_spec],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((2 * 3 * L * W, T), I32)],
+        scratch_shapes=[pltpu.VMEM((2 * rw8, T), I32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(arr)
-    return (m.reshape(3, L, W, T), g.reshape(3, L, W, T))
+    return (m[:rw].reshape(3, L, W, T), g[:rw].reshape(3, L, W, T))
