@@ -278,15 +278,37 @@ BLS12_377_S12 = dataclasses.replace(BLS12_377, name="bls12_377_s12", num_limbs=3
 BN254_S13 = dataclasses.replace(BN254, name="bn254_s13", num_limbs=21, log_limb_size=13)
 BLS12_377_S13 = dataclasses.replace(BLS12_377, name="bls12_377_s13", num_limbs=30, log_limb_size=13)
 
+# Tiny 62-bit test curve (NOT cryptographic): same shape as BN254
+# (y^2 = x^3 + 3, generator (1, 2)) over the 62-bit prime below 2^62.
+# Exists solely to keep multi-device compile checks and fast CPU tests
+# cheap: the two graph dimensions that scale XLA compile time — limb
+# count L (Montgomery mul is L(2L+3) ops) and window count W — are ~4x
+# smaller than BN254_S12's (L=6 vs 22, W=8 vs 22 at s=8/12). All kernel
+# code paths are identical. scalar_modulus is the curve's exact group
+# order (found by BSGS over the Hasse interval; verified N*G = INF), so
+# the oracle's mod-N scalar aggregation (preprocess.aggregate_scalars)
+# remains a valid linearity identity. N = 2^2 * 7 * 19 * 631 *
+# 13737849042187 — composite is fine, only N*G = INF matters.
+TINY62 = CurveParams(
+    name="tiny62",
+    p=4611686018427387847,
+    scalar_modulus=4611686020669838404,
+    b_coeff=3,
+    gen_x=1,
+    gen_y=2,
+    num_limbs=6,
+    log_limb_size=12,
+)
+
 assert deferred_carry_headroom(BN254_F13.num_limbs, 13) > 1.5
 assert deferred_carry_headroom(BLS12_377_F12.num_limbs, 12) > 1.5
 # slack floor for the signed profiles: every transient of the
 # complete-formula ledger (<= 54p operands, products <= R*p) must fit the
 # radix; >= 8 slack bits is the empirically safe line (see BN254_S13 note)
-for _c in (BN254_S12, BLS12_377_S12, BN254_S13, BLS12_377_S13):
+for _c in (BN254_S12, BLS12_377_S12, BN254_S13, BLS12_377_S13, TINY62):
     _slack = _c.num_limbs * _c.log_limb_size - _c.p.bit_length()
     assert _slack >= 7, (_c.name, _slack)
 
 CURVES = {c.name: c for c in (BN254, BLS12_377, BN254_F13, BLS12_377_F12,
                               BN254_S12, BLS12_377_S12,
-                              BN254_S13, BLS12_377_S13)}
+                              BN254_S13, BLS12_377_S13, TINY62)}
