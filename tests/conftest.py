@@ -35,7 +35,33 @@ except (ImportError, ValueError, OSError):
     _needs_reexec = False
 
 
+# ---------------------------------------------------------------------------
+# Test tiers. The unit layers (limbs/field/mont/curve-constants/oracle)
+# compile in seconds and run in ~1 min on a CPU host; the pipeline layers
+# (curve/cuzk/e2e/sharded/pallas) are XLA-compile-bound and take tens of
+# minutes cold. CI runs `-m fast` on every push and the full pyramid on a
+# schedule; locally `python -m pytest tests/ -m fast -q` is the quick gate.
+# ---------------------------------------------------------------------------
+_FAST_MODULES = {
+    "test_constants", "test_limbs", "test_field", "test_mont", "test_lazy",
+    "test_rows", "test_barrett", "test_oracle", "test_window",
+    "test_inverse", "test_glv", "test_example_app",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        base = item.module.__name__.rpartition(".")[-1]
+        tier = "fast" if base in _FAST_MODULES else "slow"
+        item.add_marker(getattr(_pytest.mark, tier))
+
+
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: unit layers, compile in seconds (<2 min total)")
+    config.addinivalue_line(
+        "markers", "slow: pipeline layers, XLA-compile-bound (minutes each)")
     # The re-exec must happen inside pytest_configure, NOT at conftest
     # import: pytest's capture plugin owns fds 1/2 by conftest-import
     # time, so an exec'd process would write its entire output into the

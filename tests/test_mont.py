@@ -87,3 +87,19 @@ def test_mont_mul_modified_dispatches():
                                  jnp.array(ints_to_planar(b, 16)), c)
     want = [(x * y * c.rinv) % c.p for x, y in zip(a, b)]
     assert planar_to_ints(np.array(got)) == want
+
+
+@pytest.mark.parametrize("w,L", [(14, 19), (15, 17)])
+def test_mont_mul_modified_midwidth(w, L):
+    # the NSAFE-gated fold path proper (mont.metal:59-100): 14/15-bit
+    # limb profiles where carries defer across several iterations
+    import dataclasses
+    c = dataclasses.replace(BN254, name=f"bn254_m{w}", num_limbs=L,
+                            log_limb_size=w)
+    assert c.nsafe > 1
+    a = rand_field(c, 64) + [0, c.p - 1, 1, c.r_mod_p]
+    b = rand_field(c, 64) + [c.p - 1, c.p - 1, 1, c.r_mod_p]
+    got = mont.mont_mul_modified(jnp.array(ints_to_planar(a, L, w)),
+                                 jnp.array(ints_to_planar(b, L, w)), c)
+    want = [(x * y * c.rinv) % c.p for x, y in zip(a, b)]
+    assert planar_to_ints(np.array(got), w) == want

@@ -181,15 +181,68 @@ def from_mont(a: jnp.ndarray, curve: CurveParams, unroll: bool = True) -> jnp.nd
 
 
 def mont_mul_modified(a: jnp.ndarray, b: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
-    """NSAFE carry-deferred Montgomery multiply for limb widths 14-15
-    (mont.metal mont_mul_modified :59-100). For w=16, NSAFE==1 forces a
-    reduction after every term, which degenerates to CIOS — so this wrapper
-    dispatches accordingly and exists for parity + narrower-limb configs."""
+    """NSAFE carry-deferred Montgomery multiply for mid-width limbs
+    (mont.metal mont_mul_modified :59-100): carries are deferred across
+    several outer iterations and folded with a full ripple only when the
+    uint32 accumulation headroom is about to run out — the unsigned
+    counterpart of the signed mid-loop fold in ops/rows.py mont_mul_rows.
+
+    Dispatch mirrors the reference's width gates: w == 16 (NSAFE == 1)
+    forces a ripple after every term, which IS CIOS, so it falls through
+    to mont_mul_cios; w <= 13 has headroom for full deferral and takes
+    mont_mul_deferred; w in {14, 15} runs the gated-fold loop below."""
     if curve.nsafe <= 1:
         return mont_mul_cios(a, b, curve)
-    # Carry-deferred variant (w <= 15): accumulate curve.nsafe products
-    # between carry ripples. Functionally identical result.
-    return mont_mul_cios(a, b, curve)  # pragma: no cover - narrow-limb TODO
+    if curve.log_limb_size <= 13:
+        return mont_mul_deferred(a, b, curve)
+    L = curve.num_limbs
+    w = curve.log_limb_size
+    mask = U32(curve.limb_mask)
+    n0 = curve.n0
+    batch = a.shape[1:]
+    zero_row = jnp.zeros((1,) + batch, U32)
+    a_pad = jnp.concatenate([a, zero_row], axis=0)             # (L+1, batch)
+    p_pad = jnp.array(curve.p_wide_limbs(), U32).reshape(
+        (L + 1,) + (1,) * len(batch))
+    # Safe iterations between folds: each outer step adds two w-bit-limb
+    # products per slot plus the t[0]-carry fold-in (bounded well below
+    # 2^(w+5) per step); headroom must stay inside uint32.
+    max_prod = ((1 << w) - 1) ** 2
+    fold_every = max(1, ((1 << 32) - (1 << w))
+                     // (2 * max_prod + (1 << (w + 5))))
+
+    t = jnp.zeros((L + 1,) + batch, U32)
+    for i in range(L):
+        t = t + a_pad * b[i][None]
+        # m needs only t[0] mod 2^w, which deferred carries never corrupt
+        # (limb 0 has no carry-in from below; uint32 wraparound preserves
+        # the low w bits of the true value)
+        m = (t[0] * n0) & mask
+        t = t + p_pad * m[None]
+        c0 = t[0] >> w
+        t = jnp.concatenate([(t[1] + c0)[None], t[2:], zero_row], axis=0)
+        if (i + 1) % fold_every == 0 and (i + 1) < L:
+            # value-preserving ripple; Montgomery keeps value(t) far below
+            # 2^(w*(L+1)), so the carry out of the top slot is zero
+            out = []
+            c = jnp.zeros(batch, U32)
+            for j in range(L + 1):
+                s = t[j] + c
+                out.append(s & mask)
+                c = s >> w
+            t = jnp.stack(out)
+
+    out = []
+    c = jnp.zeros(batch, U32)
+    for j in range(L + 1):
+        s = t[j] + c
+        out.append(s & mask)
+        c = s >> w
+    wide = jnp.stack(out)  # < 2p; one conditional subtract gives < p
+    d, borrow = limbs.sub_with_borrow(
+        wide, jnp.broadcast_to(p_pad, wide.shape), w)
+    res = limbs.select(borrow == 0, d, wide)
+    return res[:L]
 
 
 def _const(limb_list, curve: CurveParams, batch_shape) -> jnp.ndarray:
