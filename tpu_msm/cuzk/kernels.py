@@ -335,6 +335,164 @@ def inf_stacked(curve: CurveParams, batch_shape: Tuple[int, ...]) -> jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Signed-digit decomposition (stage 1b) as ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _digits_kernel(hw_ref, o_ref, *, s: int, W: int, H: int):
+    """Window extraction + signed-digit conversion, fused. The reference
+    does this per scalar in convert_...metal:94-121; the XLA twin
+    (cuzk/decompose.py) spends ~9 small ops per window — at W=20 that is
+    ~180 dispatched ops on a host-dispatch-bound runtime (benches/probe13:
+    ~47 us/op execution), so the whole unrolled chain lives in one kernel
+    here."""
+    mask = jnp.int32((1 << s) - 1)
+    full = jnp.int32(1 << s)
+    half = jnp.int32(1 << (s - 1))
+    h = [hw_ref[i] for i in range(H)]
+    carry = None
+    for w in range(W):
+        bit = w * s
+        i, off = bit >> 4, bit & 15
+        val = h[i] >> off if off else h[i]
+        if off and i + 1 < H:
+            val = val | (h[i + 1] << (16 - off))
+        val = val & mask
+        if carry is not None:
+            val = val + carry
+        ge = val >= half
+        o_ref[w] = val - jnp.where(ge, full, 0)
+        carry = ge.astype(I32)
+
+
+def decompose_digits(halfwords: jnp.ndarray, s: int, W: int,
+                     block: int = 1024) -> jnp.ndarray:
+    """(H, n) int32 16-bit halfwords -> (W, n) int32 signed digits in
+    [-2^(s-1), 2^(s-1)] with cross-window carry (cuzk/decompose.py twin,
+    bit-identical; tests/test_pallas.py)."""
+    H, n = halfwords.shape
+    S = 8
+    V = n // S
+    bv = min(block, V)
+    if V % bv:
+        raise ValueError(f"n={n} not blockable by {S}x{bv}")
+    h3 = halfwords.reshape(H, S, V)
+    in_spec = pl.BlockSpec((H, S, bv), lambda g: (0, 0, g),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W, S, bv), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_digits_kernel, s=s, W=W, H=H),
+        grid=(V // bv,),
+        out_shape=jax.ShapeDtypeStruct((W, S, V), I32),
+        in_specs=[in_spec], out_specs=out_spec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(h3)
+    return out.reshape(W, n)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel row-band helpers (shared by the fused scan/reduction kernels)
+# ---------------------------------------------------------------------------
+
+
+def _inf_rows(curve: CurveParams, L: int, W: int, rows: int, lanes: int
+              ) -> jnp.ndarray:
+    """(rows, lanes) int32 whose row r carries limb i of the projective
+    infinity (0 : 1m : 0) for row order (coord, limb, window):
+    r = (c*L + i)*W + w. Rows >= 3*L*W (alignment padding) read 0."""
+    ridx = jax.lax.broadcasted_iota(I32, (rows, lanes), 0)
+    c = ridx // (L * W)
+    li = (ridx // W) % L
+    one = int_to_limbs(curve.r_mod_p, L, curve.log_limb_size)
+    val = jnp.zeros((rows, lanes), I32)
+    for i, v in enumerate(one):
+        if v:
+            val = jnp.where(li == i, jnp.int32(v), val)
+    return jnp.where(c == 1, val, 0)
+
+
+def _pt_bands(ref, L: int, W: int, base: int = 0) -> rows.ProjRows:
+    """ProjRows view of a (c*L + i)*W row-band layout ref."""
+    def coord(c):
+        return [ref[base + (c * L + i) * W:base + (c * L + i + 1) * W, :]
+                for i in range(L)]
+    return rows.ProjRows(coord(0), coord(1), coord(2))
+
+
+def _write_bands(ref, p: rows.ProjRows, L: int, W: int, base: int = 0):
+    for c, coord in enumerate((p.x, p.y, p.z)):
+        for i in range(L):
+            ref[base + (c * L + i) * W:base + (c * L + i + 1) * W, :] = coord[i]
+
+
+# ---------------------------------------------------------------------------
+# Exclusive column-prefix scan (the S array of the bucket extraction)
+# ---------------------------------------------------------------------------
+
+
+def _colprefix_kernel(in_ref, o_ref, v_ref, sh_ref, *, curve: CurveParams,
+                      L: int, Wg: int, levels: int):
+    """Grid step 0 shifts the column totals right by one (exclusive
+    seed); steps 1..levels run one Hillis-Steele prefix level each —
+    shift distance 2^(j-1) selected by static branch, ONE shared
+    complete-add body. Replaces log2(C) separate padd_batch dispatches
+    (the reference has no analogue: its per-subtask transpose is serial,
+    transpose.metal:27-43)."""
+    j = pl.program_id(0)
+    rows8, C = v_ref.shape
+    inf = _inf_rows(curve, L, Wg, rows8, C)
+
+    @pl.when(j == 0)
+    def _():
+        v_ref[:] = jnp.concatenate([inf[:, :1], in_ref[:, :-1]], axis=1)
+
+    for lv in range(levels):
+        k = 1 << lv
+
+        @pl.when(j == lv + 1)
+        def _(k=k):
+            sh_ref[:] = jnp.concatenate([inf[:, :k], v_ref[:, :-k]], axis=1)
+
+    @pl.when(j > 0)
+    def _():
+        out = rows.padd_rows(_pt_bands(v_ref, L, Wg),
+                             _pt_bands(sh_ref, L, Wg), curve)
+        _write_bands(v_ref, out, L, Wg)
+
+    @pl.when(j == levels)
+    def _():
+        o_ref[:] = v_ref[:]
+
+
+def col_prefix(coltot: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
+    """(3, L, Wg, C) per-column totals -> (3, L, Wg, C) EXCLUSIVE prefix
+    points along the last axis (S[c] = sum of columns < c), one kernel."""
+    _, L, Wg, C = coltot.shape
+    levels = max(C.bit_length() - 1, 1)
+    rw = 3 * L * Wg
+    rows8 = -(-rw // 8) * 8
+    a = coltot.reshape(rw, C)
+    if rows8 != rw:
+        a = jnp.pad(a, ((0, rows8 - rw), (0, 0)))
+    spec = pl.BlockSpec((rows8, C), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_colprefix_kernel, curve=curve, L=L, Wg=Wg,
+                          levels=levels),
+        grid=(levels + 1,),
+        out_shape=jax.ShapeDtypeStruct((rows8, C), I32),
+        in_specs=[spec], out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((rows8, C), I32),
+                        pltpu.VMEM((rows8, C), I32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(a)
+    return out[:rw].reshape(3, L, Wg, C)
+
+
+# ---------------------------------------------------------------------------
 # PBPR stage 1: m/g running sums over descending bucket slices
 # ---------------------------------------------------------------------------
 
@@ -378,6 +536,145 @@ def _pbpr_kernel(b_ref, m_ref, g_ref, mg_ref, *, curve: CurveParams,
             mg_ref[goff + (c * L + i) * W:
                    goff + (c * L + i + 1) * W, :] = coord[i]
             g_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = coord[i]
+
+
+def _pbpr_full_kernel(b_ref, o_ref, mg_ref, sh_ref, *, curve: CurveParams,
+                      L: int, W: int, Bt: int, T: int, goff: int):
+    """The COMPLETE parallel bucket-points reduction in one kernel.
+
+    Grid phases (sequential, scratch-carried):
+      [0, Bt)                stage 1 (cuZK Alg.4, pbpr.metal:33-96):
+                             m += bucket_slice_j; g += m.
+      [Bt, Bt+bits)          phase A: suffix Hillis-Steele scan of BOTH
+                             halves over the T lanes. After it,
+                             m-lane j = S_j = sum_{t>=j} m_t and
+                             g-lane 0 = g_tot = sum_t g_t.
+      Bt+bits                mask: m lane 0 -> inf, g lanes>0 -> inf.
+      (Bt+bits, Bt+2bits]    phase B: same scan body again. m-lane 0
+                             becomes sum_{j>=1} S_j, which equals the
+                             weighted sum WS = sum_t t*m_t — this
+                             identity replaces the reference's
+                             double_and_add stage 2 (pbpr.metal:98-148)
+                             with no scalar multiplication at all.
+                             g-lane 0 keeps g_tot (all other
+                             contributions are masked to infinity).
+      [.., ..+log2(Bt))      phase C: m-half doubling -> Bt * WS.
+      last                   G_w = g_tot + Bt*WS -> out lane 0.
+    """
+    j = pl.program_id(0)
+    bits = max(T.bit_length() - 1, 0)
+    dbl = max(Bt.bit_length() - 1, 0)
+    rows8 = o_ref.shape[0]
+    inf = _inf_rows(curve, L, W, rows8, T)
+
+    @pl.when(j == 0)
+    def _():
+        mg_ref[:] = jnp.concatenate([inf, inf], axis=0)
+
+    # ---- stage 1 ----
+    @pl.when(j < Bt)
+    def _():
+        bucket = _pt_bands(b_ref, L, W)
+        m = rows.padd_rows(_pt_bands(mg_ref, L, W), bucket, curve)
+        g = rows.padd_rows(_pt_bands(mg_ref, L, W, goff), m, curve)
+        _write_bands(mg_ref, m, L, W)
+        _write_bands(mg_ref, g, L, W, goff)
+
+    # ---- phases A/B: suffix scan over lanes, shared body ----
+    in_a = jnp.logical_and(j >= Bt, j < Bt + bits)
+    in_b = jnp.logical_and(j > Bt + bits, j <= Bt + 2 * bits)
+    in_scan = jnp.logical_or(in_a, in_b)
+    level = jnp.where(in_a, j - Bt, j - Bt - bits - 1)
+    inf2 = jnp.concatenate([inf, inf], axis=0)
+    for lv in range(bits):
+        k = 1 << lv
+
+        @pl.when(jnp.logical_and(in_scan, level == lv))
+        def _(k=k):
+            sh_ref[:] = jnp.concatenate(
+                [mg_ref[:, k:], inf2[:, :k]], axis=1)
+
+    @pl.when(in_scan)
+    def _():
+        # one complete-add body covers both halves: row-bands of m and g
+        # are concatenated on the sublane axis (2W-window points)
+        def pt2(ref):
+            def coord(c):
+                return [jnp.concatenate(
+                    [ref[(c * L + i) * W:(c * L + i + 1) * W, :],
+                     ref[goff + (c * L + i) * W:
+                         goff + (c * L + i + 1) * W, :]], axis=0)
+                    for i in range(L)]
+            return rows.ProjRows(coord(0), coord(1), coord(2))
+
+        out = rows.padd_rows(pt2(mg_ref), pt2(sh_ref), curve)
+        for c, coord in enumerate((out.x, out.y, out.z)):
+            for i in range(L):
+                mg_ref[(c * L + i) * W:(c * L + i + 1) * W, :] = coord[i][:W]
+                mg_ref[goff + (c * L + i) * W:
+                       goff + (c * L + i + 1) * W, :] = coord[i][W:]
+
+    # ---- mask between A and B ----
+    @pl.when(j == Bt + bits)
+    def _():
+        lane = jax.lax.broadcasted_iota(I32, (rows8, T), 1)
+        mg_ref[0:rows8, :] = jnp.where(lane == 0, inf, mg_ref[0:rows8, :])
+        mg_ref[goff:goff + rows8, :] = jnp.where(
+            lane == 0, mg_ref[goff:goff + rows8, :], inf)
+
+    # ---- phase C: double the m-half log2(Bt) times ----
+    start_c = Bt + 2 * bits + 1
+    @pl.when(jnp.logical_and(j >= start_c, j < start_c + dbl))
+    def _():
+        m2 = rows.pdbl_rows(_pt_bands(mg_ref, L, W), curve)
+        _write_bands(mg_ref, m2, L, W)
+
+    # ---- final combine ----
+    @pl.when(j == start_c + dbl)
+    def _():
+        out = rows.padd_rows(_pt_bands(mg_ref, L, W),
+                             _pt_bands(mg_ref, L, W, goff), curve)
+        _write_bands(o_ref, out, L, W)
+
+
+def pbpr_full(buckets: jnp.ndarray, curve: CurveParams,
+              threads: int) -> jnp.ndarray:
+    """Whole PBPR (stages 1+2) in one pallas_call: (3, L, W, B) buckets
+    (slot b = multiplier b+1) -> (3, L, W) per-window sums G_w.
+
+    Same slice-major reversed input arrangement as pbpr_stage1 below;
+    everything after stage 1 runs on scratch across extra grid steps
+    (see _pbpr_full_kernel). One dispatched op replaces the ~200-op
+    XLA tail (bit-decomposed Hillis-Steele + Horner) of round 1."""
+    _, L, W, B = buckets.shape
+    T = min(threads, B)
+    Bt = B // T
+    bits = max(T.bit_length() - 1, 0)
+    dbl = max(Bt.bit_length() - 1, 0)
+    rw = 3 * L * W
+    rw8 = -(-rw // 8) * 8
+    sel = buckets.reshape(rw, T, Bt)[:, :, ::-1]
+    arr = jnp.moveaxis(sel, 2, 0)                           # (Bt, rw, T)
+    if rw8 != rw:
+        arr = jnp.pad(arr, ((0, 0), (0, rw8 - rw), (0, 0)))
+    arr = arr.reshape(Bt * rw8, T)
+    in_spec = pl.BlockSpec((rw8, T), lambda j: (jnp.minimum(j, Bt - 1), 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rw8, T), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_pbpr_full_kernel, curve=curve, L=L, W=W, Bt=Bt,
+                          T=T, goff=rw8),
+        grid=(Bt + 2 * bits + dbl + 2,),
+        out_shape=jax.ShapeDtypeStruct((rw8, T), I32),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((2 * rw8, T), I32),
+                        pltpu.VMEM((2 * rw8, T), I32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(arr)
+    return out[:rw].reshape(3, L, W, T)[..., 0]
 
 
 def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,

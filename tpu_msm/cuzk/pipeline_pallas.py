@@ -4,33 +4,41 @@ Same five-stage structure as cuzk/pipeline.py (the XLA reference path)
 but with the hot kernels in Pallas (cuzk/kernels.py) and the SMVP
 re-formulated as **prefix sums + group subtraction**:
 
-  Stage 1  encode_mont kernel + decompose (XLA bit-slicing)
-  Stage 2  per window: stable argsort of bucket keys (XLA sort — the
-           counting-sort transpose of transpose.metal:8-65)
+  Stage 1  encode_mont kernel + decompose_digits kernel (signed windows,
+           carry, fused — convert_...metal:16-122).
+  Stage 2  ONE batched stable sort of (sign-packed) bucket keys for ALL
+           windows (the counting-sort transpose of transpose.metal:8-65),
+           plus ONE double-sort rank computation producing every bucket
+           boundary cnt[w, b] = #(keys < b) — replacing per-group
+           searchsorted (a log2(n)-step while loop on device) with two
+           more flat sorts.
   Stage 3  prefix_scan kernel: ONE sequential grid over the sorted point
-           stream computing unsegmented running prefix sums T.
-           Bucket b of window w = G(e_b) - G(s_b - 1), where
-           G(p) = T[p] + S[col(p)] (S = exclusive column-total prefix)
-           and s_b/e_b come from searchsorted on the sorted keys.
-           The subtraction is one complete-add with negated y — so the
-           signed-bucket handling of smvp.metal:46-105, the atomic
-           transpose, and the reference's per-bucket serial loops all
-           collapse into gathers + three batched point adds.
-  Stage 4  pbpr_stage1 kernel (cuZK Alg.4 m/g split, pbpr.metal:33-96)
-           + stage-2 offset combination via a bit-decomposed weighted
-           sum: sum_t t*m_t = sum_k 2^k * (sum_{t: bit k} m_t), computed
-           with log-depth Hillis-Steele scans of padd_batch — replacing
-           the reference's per-thread double_and_add (pbpr.metal:16-31).
+           stream computing unsegmented running prefix sums T, then the
+           col_prefix kernel for the exclusive column-total prefix S.
+           The global prefix at sorted position p is
+           G(p) = T[p] + S[col(p)]. Bucket b of window w is the
+           CONSECUTIVE DIFFERENCE G(cnt[b+1]-1) - G(cnt[b]-1): one
+           gather + one point add + one point subtract. Empty buckets
+           need no masking at all — both gathers hit the same position
+           and the complete-formula subtraction yields the identity
+           (P - P = inf is exact under RCB complete adds). This replaces
+           round 1's log2(B)-round fill-forward chain, the validity
+           masks, and the signed-bucket scatter of smvp.metal:46-105.
+  Stage 4  pbpr_full kernel: the whole cuZK Alg.4 bucket reduction —
+           stage 1 m/g running sums (pbpr.metal:33-96) AND the weighted
+           combination sum_t t*m_t (pbpr.metal:98-148) — in ONE kernel,
+           using the suffix-sum identity sum_t t*m_t = sum_{j>=1} S_j
+           (S = suffix sums of m) instead of per-thread double_and_add.
   Stage 5  host Horner over per-window sums (pipeline.py MSMPipeline).
 
 Everything from stage 1-4 runs inside ONE jitted program; only the W
-window sums leave the device.
+window sums leave the device. The whole program dispatches ~40 + ~30 per
+window-group op executions — the round-1 formulation dispatched ~2,400,
+and on this runtime wall time is host-dispatch-bound at ~47 us/op
+(benches/probe13.py, benches/trace_e2e.py), not device-bound.
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +46,7 @@ import jax.numpy as jnp
 from ..config import MSMConfig
 from ..constants import CurveParams
 from ..ops.complete import ProjPoint
-from . import decompose, kernels
+from . import kernels
 
 I32 = jnp.int32
 
@@ -48,7 +56,8 @@ def _hs_scan_last(p: jnp.ndarray, curve: CurveParams,
     """Hillis-Steele inclusive prefix scan of points along the last axis.
 
     p: (3, L, ..., K) stacked lazy points. log2(K) padd_batch calls, all
-    at full width (shifted-in lanes are infinity, the monoid identity)."""
+    at full width (shifted-in lanes are infinity, the monoid identity).
+    Kept for benches and as the XLA twin of the col_prefix kernel."""
     K = p.shape[-1]
     inf = kernels.inf_stacked(curve, p.shape[2:])
     k = 1
@@ -58,6 +67,33 @@ def _hs_scan_last(p: jnp.ndarray, curve: CurveParams,
         p = kernels.padd_batch(p, shifted, curve)
         k *= 2
     return p
+
+
+def _bucket_counts(keys2: jnp.ndarray, n: int, B: int) -> jnp.ndarray:
+    """cnt[w, j] = #(keys2[w, :] < 2*(j+1)) for j = 0..B — i.e. the end
+    of the digit-0 region (j=0) and of every bucket's key region
+    (j = bucket value), for all windows at once.
+
+    Two flat sorts instead of searchsorted: data keys map to odd slots
+    2k+1 and the B+1 grid queries to even slots 2q, so a query's sorted
+    position equals (#data below it) + (its own rank). The second sort
+    brings the query payloads back to the front in rank order. On this
+    runtime two extra sorts (~single dispatched ops on (W, n+B+1)) are
+    ~50x cheaper than searchsorted's log2(n)-iteration while loop
+    (benches/probe12.py, probe13.py)."""
+    Wp = keys2.shape[0]
+    qs2 = (jnp.arange(1, B + 2, dtype=I32) << 2)          # queries, even
+    keys_aug = jnp.concatenate(
+        [keys2 * 2 + 1, jnp.broadcast_to(qs2, (Wp, B + 1))], axis=-1)
+    pay = jnp.concatenate(
+        [jnp.full((Wp, n), n + B + 1, I32),
+         jnp.broadcast_to(jnp.arange(B + 1, dtype=I32), (Wp, B + 1))],
+        axis=-1)
+    _, pay_s = jax.lax.sort((keys_aug, pay), num_keys=1, is_stable=False)
+    pos = jnp.broadcast_to(jnp.arange(n + B + 1, dtype=I32),
+                           (Wp, n + B + 1))
+    _, pos2 = jax.lax.sort((pay_s, pos), num_keys=1, is_stable=False)
+    return pos2[:, :B + 1] - jnp.arange(B + 1, dtype=I32)
 
 
 def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
@@ -70,6 +106,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     C = min(cfg.columns, n)
     R = n // C
     B = cfg.half_columns
+    Wp = cfg.padded_windows
 
     F = Wg * C                  # lanes per kernel step
     if F % 1024 and n != F:
@@ -91,17 +128,14 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     else:
         # digits stored int16 (|d| <= 2^(s-1) <= 2^15 fits exactly) — at
         # 2^24 the digit buffer is 0.5 GB instead of 1 GB
-        digits = decompose.decompose(halfwords, cfg).astype(jnp.int16)
-    if cfg.padded_windows > W:
+        digits = kernels.decompose_digits(
+            halfwords.astype(I32), cfg.window_size, W).astype(jnp.int16)
+    if Wp > W:
         digits = jnp.concatenate(
-            [digits, jnp.zeros((cfg.padded_windows - W, n), jnp.int16)],
-            axis=0)
-
-    inf_b = kernels.inf_stacked(curve, (Wg, B))
+            [digits, jnp.zeros((Wp - W, n), jnp.int16)], axis=0)
 
     F8 = F // 8                 # kernel tile is (8, F8) — full sublanes
     n8 = R * F8
-    wv = jnp.arange(Wg, dtype=I32)[:, None]
 
     def to_kernel8(a):
         """(Wg, n) global-order per-window array -> (8, n8) kernel-layout:
@@ -119,109 +153,71 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     # path entirely (all profiled).
     d32 = digits.astype(I32)                                 # (Wp, n)
     keys2_all = (jnp.abs(d32) << 1) | (d32 < 0).astype(I32)
-    iota_all = jnp.broadcast_to(jnp.arange(n, dtype=I32),
-                                (cfg.padded_windows, n))
+    iota_all = jnp.broadcast_to(jnp.arange(n, dtype=I32), (Wp, n))
     skeys2_all, perm_all = jax.lax.sort(
         (keys2_all, iota_all), dimension=-1, num_keys=1, is_stable=False)
 
-    def group_body(_, xs_slices):
-        skeys2, perm = xs_slices                             # (Wg, n) each
+    # ---- stage 2b: every bucket boundary for every window, hoisted ----
+    cnt_all = _bucket_counts(keys2_all, n, B)                # (Wp, B+1)
+    p_all = jnp.maximum(cnt_all - 1, 0)
+    c_all = p_all // R
+    f_all = (jnp.arange(Wp, dtype=I32) % Wg)[:, None] * C + c_all
+    jt_all = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
+
+    inf_b1 = kernels.inf_stacked(curve, (Wg, 1))
+
+    def flat_gather(src, idx):                               # idx (Wg, K)
+        # points-major row gather: transpose the (3, L, N) stream to
+        # (N, 3L) and fetch whole point rows. take_along_axis along
+        # the last axis lowers to a ~48 ns/element scalar loop in
+        # this context (67% of device time at 2^16, profiled); the
+        # row form costs ~nothing over the no-gather floor.
+        pm = src.reshape(3 * L, src.shape[-1]).T             # (N, 3L)
+        rows = jnp.take(pm, idx.reshape(-1), axis=0)         # (K, 3L)
+        return rows.T.reshape((3, L) + idx.shape)
+
+    def group_body(slices):
+        skeys2, perm, cnt_g, f_g, jt_g = slices              # (Wg, ...) each
         perm8 = to_kernel8(perm)
         sign8 = to_kernel8(skeys2) & 1
         sx8 = xm[:, perm8].reshape(L * 8, n8)
         sy8 = ym[:, perm8].reshape(L * 8, n8)
 
-        # ---- stage 3: prefix scan + bucket extraction ----
+        # ---- stage 3: prefix scan + no-fill bucket extraction ----
         tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
         tflat = tbuf.reshape(3, L, 8 * n8)
-
-        # S = exclusive column-total prefix; extraction gathers T and S
-        # separately at the same bucket-end slots and combines with one
-        # (Wg, B+1)-lane padd (cheaper than adding S to all n positions)
         coltot = tbuf[:, (R - 1) * F8:].reshape(3, L, Wg, C)
-        inf_c = kernels.inf_stacked(curve, (Wg, 1))
-        excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
-        S = _hs_scan_last(excl, curve)                       # exclusive
+        S = kernels.col_prefix(coltot, curve)                # exclusive
         Sflat = S.reshape(3, L, Wg * C)
 
-        qs = jnp.arange(1, B + 2, dtype=I32) << 1            # key2 space
-        cnt = jax.vmap(
-            lambda sk: jnp.searchsorted(sk, qs, side="left"))(skeys2)
-        e = cnt[:, 1:] - 1                                   # (Wg, B)
-        empty = cnt[:, 1:] == cnt[:, :B]
-        n0 = cnt[:, 0]                                       # |key-0 region|
-
-        # one combined gather: slot 0 is the key-0 region end (the G0
-        # seed), slots 1..B the bucket ends — a separate 1-element G0
-        # gather serializes the pipeline for ~30 ms/group (profiled)
-        p_all = jnp.concatenate(
-            [jnp.maximum(n0 - 1, 0)[:, None], jnp.maximum(e, 0)], axis=1)
-        c_all = p_all // R                                   # (Wg, B+1)
-
-        def flat_gather(src, idx):                           # idx (Wg, K)
-            # points-major row gather: transpose the (3, L, N) stream to
-            # (N, 3L) and fetch whole point rows. take_along_axis along
-            # the last axis lowers to a ~48 ns/element scalar loop in
-            # this context (67% of device time at 2^16, profiled); the
-            # row form costs ~nothing over the no-gather floor.
-            pm = src.reshape(3 * L, src.shape[-1]).T         # (N, 3L)
-            rows = jnp.take(pm, idx.reshape(-1), axis=0)     # (K, 3L)
-            return rows.T.reshape((3, L) + idx.shape)
-
-        f_all = wv * C + c_all
-        jt = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
-        Tall = flat_gather(tflat, jt)                        # (3,L,Wg,B+1)
-        Sall = flat_gather(Sflat, f_all)
+        # G(p) gathered ONLY at the B+1 region ends: combine T and S at
+        # the gathered slots with one (Wg, B+1)-lane padd (cheaper than
+        # adding S to all n positions)
+        Tall = flat_gather(tflat, jt_g)                      # (3,L,Wg,B+1)
+        Sall = flat_gather(Sflat, f_g)
         Gall = kernels.padd_batch(Tall, Sall, curve)
+        # cnt == 0 means nothing sorts below this boundary: G(-1) = inf
+        Gp = jnp.where((cnt_g == 0)[None, None], inf_b1, Gall)
 
-        Ge = Gall[..., 1:]                                   # (3,L,Wg,B)
-        G0 = jnp.where((n0 == 0)[None, None, :, None],
-                       inf_b[..., :1], Gall[..., :1])
-        vals = jnp.concatenate([G0, Ge[..., :-1]], axis=-1)
-        valid = jnp.concatenate(
-            [jnp.ones((Wg, 1), bool), (~empty)[..., :-1]], axis=-1)
-        k = 1
-        while k < B:
-            pad_v = jnp.broadcast_to(inf_b[..., :k], vals[..., :k].shape)
-            sh_vals = jnp.concatenate([pad_v, vals[..., :-k]], axis=-1)
-            sh_valid = jnp.concatenate(
-                [jnp.zeros((Wg, k), bool), valid[..., :-k]], axis=-1)
-            vals = jnp.where(valid[None, None], vals, sh_vals)
-            valid = valid | sh_valid
-            k *= 2
+        # bucket b (multiplier b+1) = G(end of its region) - G(end of
+        # the previous region); empty buckets cancel to inf by the
+        # complete-subtraction identity — no masks, no fill.
+        bucket = kernels.psub_batch(Gp[..., 1:], Gp[..., :-1], curve)
+        return bucket                                        # (3,L,Wg,B)
 
-        bucket = kernels.psub_batch(Ge, vals, curve)
-        bucket = jnp.where(empty[None, None], inf_b, bucket)
-        return None, bucket                                  # (3,L,Wg,B)
+    if G == 1:
+        buckets = group_body((skeys2_all, perm_all, cnt_all, f_all, jt_all))
+        buckets = buckets.reshape(3, L, Wp, B)
+    else:
+        _, bk = jax.lax.scan(
+            lambda _, s: (None, group_body(s)), None,
+            (skeys2_all.reshape(G, Wg, n), perm_all.reshape(G, Wg, n),
+             cnt_all.reshape(G, Wg, B + 1), f_all.reshape(G, Wg, B + 1),
+             jt_all.reshape(G, Wg, B + 1)))
+        # (G, 3, L, Wg, B) -> (3, L, Wp, B)
+        buckets = jnp.moveaxis(bk, 0, 2).reshape(3, L, Wp, B)
 
-    _, bk = jax.lax.scan(
-        group_body, None,
-        (skeys2_all.reshape(G, Wg, n), perm_all.reshape(G, Wg, n)))
-    # (G, 3, L, Wg, B) -> (3, L, Wp, B)
-    buckets = jnp.moveaxis(bk, 0, 2).reshape(3, L, cfg.padded_windows, B)
-
-    # ---- stage 4: PBPR ----
+    # ---- stage 4: PBPR, one kernel ----
     T = min(cfg.pbpr_threads, B)
-    Bt = B // T
-    m, g = kernels.pbpr_stage1(buckets, curve, T)            # (3,L,Wp,T)
-
-    # stage 4b: G_w = sum_t g_t + Bt * sum_t t*m_t
-    bits = max((T - 1).bit_length(), 1)
-    t_ids = jnp.arange(T, dtype=I32)
-    inf_t = kernels.inf_stacked(curve, (cfg.padded_windows, 1, T))
-    masked = [g[:, :, :, None, :]]
-    for k in range(bits):
-        has = ((t_ids >> k) & 1).astype(bool)
-        masked.append(jnp.where(has[None, None, None, None],
-                                m[:, :, :, None, :], inf_t))
-    allm = jnp.concatenate(masked, axis=3)       # (3,L,Wp,bits+1,T)
-    totals = _hs_scan_last(allm, curve)[..., -1]  # (3,L,Wp,bits+1)
-    g_tot = totals[..., 0]
-    acc = kernels.inf_stacked(curve, (cfg.padded_windows,))
-    for k in range(bits - 1, -1, -1):             # Horner: sum 2^k S_k
-        acc = kernels.pdbl_batch(acc, curve)
-        acc = kernels.padd_batch(acc, totals[..., 1 + k], curve)
-    for _ in range(max(Bt.bit_length() - 1, 0)):  # * Bt
-        acc = kernels.pdbl_batch(acc, curve)
-    gw = kernels.padd_batch(g_tot, acc, curve)    # (3, L, Wp)
+    gw = kernels.pbpr_full(buckets, curve, T)                # (3, L, Wp)
     return ProjPoint(gw[0], gw[1], gw[2])
