@@ -439,21 +439,28 @@ def _colprefix_kernel(in_ref, o_ref, v_ref, sh_ref, *, curve: CurveParams,
     shift distance 2^(j-1) selected by static branch, ONE shared
     complete-add body. Replaces log2(C) separate padd_batch dispatches
     (the reference has no analogue: its per-subtask transpose is serial,
-    transpose.metal:27-43)."""
+    transpose.metal:27-43).
+
+    The right-shift-by-k is pltpu.roll + an iota mask, NOT a
+    concatenate of lane slices: Mosaic's vector_extract_strided_slice
+    rule check-fails (`limits[i] <= dim(i)`) on the sub-tile slice
+    inf[:, :k] inside an scf.if on v5e (bisected in benches/probe14.py;
+    the pbpr kernel's left-shift form happens to be fine)."""
     j = pl.program_id(0)
     rows8, C = v_ref.shape
     inf = _inf_rows(curve, L, Wg, rows8, C)
+    lane = jax.lax.broadcasted_iota(I32, (rows8, C), 1)
 
     @pl.when(j == 0)
     def _():
-        v_ref[:] = jnp.concatenate([inf[:, :1], in_ref[:, :-1]], axis=1)
+        v_ref[:] = jnp.where(lane < 1, inf, pltpu.roll(in_ref[:], 1, 1))
 
     for lv in range(levels):
         k = 1 << lv
 
         @pl.when(j == lv + 1)
         def _(k=k):
-            sh_ref[:] = jnp.concatenate([inf[:, :k], v_ref[:, :-k]], axis=1)
+            sh_ref[:] = jnp.where(lane < k, inf, pltpu.roll(v_ref[:], k, 1))
 
     @pl.when(j > 0)
     def _():
