@@ -68,3 +68,33 @@ def test_sharded_2dev():
     pts, scalars = ref.gen_points_scalars(C, 96, seed=63)
     got = sharded_msm(pts, scalars, mesh, config=CFG)
     assert ref.jac_eq(C, got, msm_oracle(pts, scalars))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_2d_mesh_points_by_windows():
+    """2x4 (points x windows) mesh: each w-shard reduces 2 of the 8
+    window groups; blocks reassemble over the 'w' all-gather. TINY62
+    keeps the per-chip compile small (W=8, Wg=1 -> 8 groups)."""
+    from tpu_msm.constants import TINY62
+    cfg = MSMConfig(curve=TINY62, window_size=8, columns=16,
+                    pbpr_threads=8, subtask_group=1, backend="xla")
+    mesh = jax.make_mesh((2, 4), ("x", "w"))
+    pts, scalars = ref.gen_points_scalars(TINY62, 80, seed=64)
+    got = sharded_msm(pts, scalars, mesh, config=cfg)
+    want = ref.msm_pippenger_signed(TINY62, pts, scalars, window=8)
+    assert ref.jac_eq(TINY62, got, want)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+def test_sharded_pallas_backend_interpret():
+    """The PRODUCTION pallas kernels under shard_map on the virtual CPU
+    mesh (interpret mode): per-chip n == Wg*C so the kernel path is
+    taken (no XLA fallback), 4-way point sharding, vs the oracle."""
+    from tpu_msm.constants import TINY62
+    cfg = MSMConfig(curve=TINY62, window_size=8, columns=32,
+                    pbpr_threads=16, subtask_group=8, backend="pallas")
+    mesh = jax.make_mesh((4,), ("x",))
+    pts, scalars = ref.gen_points_scalars(TINY62, 4 * 256, seed=65)
+    got = sharded_msm(pts, scalars, mesh, config=cfg)
+    want = ref.msm_pippenger_signed(TINY62, pts, scalars, window=8)
+    assert ref.jac_eq(TINY62, got, want)

@@ -43,9 +43,16 @@ JacInt = Tuple[int, int, int]
 
 
 def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
-                    *, cfg: MSMConfig) -> ProjPoint:
+                    *, cfg: MSMConfig, w_shards: int = 1,
+                    w_index=None) -> ProjPoint:
     """The full on-device pipeline: convert+decompose -> (sort -> SMVP)
-    per window group -> PBPR. Returns per-window sums, ProjPoint (L, Wp)."""
+    per window group -> PBPR. Returns per-window sums, ProjPoint (L, Wp).
+
+    w_shards > 1 (with w_index the traced shard index, e.g.
+    lax.axis_index under shard_map) processes only the shard's
+    contiguous block of padded_windows // w_shards windows — the
+    window-axis dimension of the 2D (points x windows) mesh
+    (parallel/sharded.py). Requires w_shards | num_groups."""
     curve = cfg.curve
     L = curve.num_limbs
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
@@ -57,9 +64,17 @@ def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
     else:
         digits = decompose.decompose(halfwords, cfg)  # (W, n)
     n = xm.shape[-1]  # 2x the input lanes under glv
-    if cfg.padded_windows > W:
+    Wp = cfg.padded_windows
+    if Wp > W:
         digits = jnp.concatenate(
-            [digits, jnp.zeros((cfg.padded_windows - W, n), I32)], axis=0)
+            [digits, jnp.zeros((Wp - W, n), I32)], axis=0)
+    if w_shards > 1:
+        if G % w_shards:
+            raise ValueError("w_shards must divide num_groups")
+        Wp = Wp // w_shards
+        G = G // w_shards
+        digits = jax.lax.dynamic_slice_in_dim(
+            digits, w_index * Wp, Wp, axis=0)
     dgroups = digits.reshape(G, Wg, n)
 
     def group_body(_, dg):
@@ -69,9 +84,9 @@ def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
     _, (bx, by, bz) = jax.lax.scan(group_body, None, dgroups)
     # (G, L, Wg, B) -> (L, G*Wg, B)
     B = cfg.half_columns
-    bx = jnp.moveaxis(bx, 0, 1).reshape(L, cfg.padded_windows, B)
-    by = jnp.moveaxis(by, 0, 1).reshape(L, cfg.padded_windows, B)
-    bz = jnp.moveaxis(bz, 0, 1).reshape(L, cfg.padded_windows, B)
+    bx = jnp.moveaxis(bx, 0, 1).reshape(L, Wp, B)
+    by = jnp.moveaxis(by, 0, 1).reshape(L, Wp, B)
+    bz = jnp.moveaxis(bz, 0, 1).reshape(L, Wp, B)
 
     return pbpr.bucket_reduce(ProjPoint(bx, by, bz), cfg)
 

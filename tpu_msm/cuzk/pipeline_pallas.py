@@ -98,7 +98,8 @@ def _bucket_counts(keys2: jnp.ndarray, n: int, B: int) -> jnp.ndarray:
 
 def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
                            halfwords: jnp.ndarray, *,
-                           cfg: MSMConfig) -> ProjPoint:
+                           cfg: MSMConfig, w_shards: int = 1,
+                           w_index=None) -> ProjPoint:
     curve = cfg.curve
     L = curve.num_limbs
     n = (2 if cfg.glv else 1) * xs.shape[-1]   # stream lanes (2x under glv)
@@ -116,7 +117,8 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # schedule) take the XLA path — tiny inputs are dispatch-latency
         # bound anyway, the kernels buy nothing there.
         from .pipeline import _windows_device
-        return _windows_device(xs, ys, halfwords, cfg=cfg)
+        return _windows_device(xs, ys, halfwords, cfg=cfg,
+                               w_shards=w_shards, w_index=w_index)
 
     # ---- stage 1: Montgomery encode + signed decompose ----
     xm = kernels.encode_mont(xs, curve)
@@ -133,6 +135,18 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     if Wp > W:
         digits = jnp.concatenate(
             [digits, jnp.zeros((Wp - W, n), jnp.int16)], axis=0)
+    if w_shards > 1:
+        # window-axis shard: keep only this shard's contiguous block of
+        # window GROUPS — every later stage (sort, boundary counts,
+        # extraction, PBPR) then runs on Wp/w_shards windows. Group
+        # granularity keeps the in-group lane math (f = (w % Wg)*C + c)
+        # identical because Wg | Wp_local.
+        if G % w_shards:
+            raise ValueError("w_shards must divide num_groups")
+        Wp = Wp // w_shards
+        G = G // w_shards
+        digits = jax.lax.dynamic_slice_in_dim(
+            digits, w_index * Wp, Wp, axis=0)
 
     F8 = F // 8                 # kernel tile is (8, F8) — full sublanes
     n8 = R * F8

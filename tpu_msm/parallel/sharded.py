@@ -13,9 +13,11 @@ the interconnect: one all-gather + a replicated log2(ndev) halving tree
 of complete adds. Communication is O(W * L) regardless of n — the MSM
 analogue of data parallelism with a gradient-sized all-reduce.
 
-Mesh axes: a single 'x' axis for the point shard (DP). Window-axis
-(model-parallel-style) sharding of PBPR is a planned round-2 extension;
-its cost share is O(B/n) and vanishes for large n.
+Mesh axes: 'x' shards the point stream (DP); an optional 'w' axis
+shards the window/bucket space (the model-parallel analogue) — each
+w-shard runs sort/extraction/PBPR on its padded_windows/wdev block
+only, and per-window sums are reassembled with an all-gather over 'w'
+(see make_sharded_windows_fn).
 """
 
 from __future__ import annotations
@@ -61,15 +63,40 @@ def _reduce_gathered(g: ProjPoint, curve: CurveParams, ndev: int) -> ProjPoint:
 
 
 def make_sharded_windows_fn(cfg: MSMConfig, mesh: jax.sharding.Mesh):
-    """Build the jitted SPMD windows function for `mesh` (axis 'x').
+    """Build the jitted SPMD windows function for `mesh`.
 
-    Inputs are (L, n) / (H, n) planar arrays sharded on the n axis;
-    output is the replicated per-window ProjPoint (L, W_padded)."""
+    Mesh axes: 'x' shards the point stream (DP; per-chip sums combine
+    with one all-gather + a complete-add tree — communication O(W*L)).
+    An optional second axis 'w' shards the WINDOW dimension (the
+    model-parallel analogue): each w-shard decomposes all windows
+    locally (cheap, elementwise) but sorts/extracts/reduces only its
+    padded_windows/wdev block, so the bucket-space stages scale with
+    the mesh. Window blocks are reassembled with an all-gather over 'w'
+    (O(W*L) bytes again — the per-window sums, never the buckets).
+
+    Inputs are (L, n) / (H, n) planar arrays sharded on the n axis
+    (replicated over 'w'); output is the replicated per-window
+    ProjPoint (L, W_padded)."""
     ndev = mesh.shape["x"]
+    wdev = mesh.shape.get("w", 1)
+    if cfg.num_groups % wdev:
+        raise ValueError("mesh axis 'w' must divide num_groups "
+                         f"({cfg.num_groups} groups, {wdev} shards)")
     windows_fn = MSMPipeline.windows_fn(cfg)
 
     def per_chip(xs, ys, hw):
-        g = windows_fn(xs, ys, hw, cfg=cfg)               # local (L, Wp)
+        if wdev > 1:
+            g = windows_fn(xs, ys, hw, cfg=cfg, w_shards=wdev,
+                           w_index=jax.lax.axis_index("w"))
+            # reassemble the window axis: shard i owns windows
+            # [i*Wl, (i+1)*Wl) -> concat in axis-index order
+            def regather(a):                       # (L, Wl) -> (L, Wp)
+                ga = jax.lax.all_gather(a, "w")    # (wdev, L, Wl)
+                return jnp.moveaxis(ga, 0, 1).reshape(
+                    a.shape[0], wdev * a.shape[1])
+            g = ProjPoint(regather(g.x), regather(g.y), regather(g.z))
+        else:
+            g = windows_fn(xs, ys, hw, cfg=cfg)           # local (L, Wp)
         gx = jax.lax.all_gather(g.x, "x")                  # (ndev, L, Wp)
         gy = jax.lax.all_gather(g.y, "x")
         gz = jax.lax.all_gather(g.z, "x")
