@@ -223,13 +223,23 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         buckets = group_body((skeys2_all, perm_all, cnt_all, f_all, jt_all))
         buckets = buckets.reshape(3, L, Wp, B)
     else:
-        _, bk = jax.lax.scan(
-            lambda _, s: (None, group_body(s)), None,
-            (skeys2_all.reshape(G, Wg, n), perm_all.reshape(G, Wg, n),
-             cnt_all.reshape(G, Wg, B + 1), f_all.reshape(G, Wg, B + 1),
-             jt_all.reshape(G, Wg, B + 1)))
-        # (G, 3, L, Wg, B) -> (3, L, Wp, B)
-        buckets = jnp.moveaxis(bk, 0, 2).reshape(3, L, Wp, B)
+        # STATIC python unroll over window groups, NOT lax.scan: a scan
+        # whose body contains pallas custom-calls wedges this runtime's
+        # first execution indefinitely (bisected on-device in r3:
+        # every kernel runs standalone, the G=1 pipeline runs, any
+        # G>1 scan-wrapped pipeline never completes — while the pure-
+        # XLA scan body is fine). The unrolled graphs are ~30 XLA ops
+        # per group and the Mosaic kernels compile once per shape, so
+        # compile cost stays modest; XLA serializes the group
+        # subgraphs, keeping the peak-memory profile of the scan.
+        parts = [group_body((skeys2_all[g * Wg:(g + 1) * Wg],
+                             perm_all[g * Wg:(g + 1) * Wg],
+                             cnt_all[g * Wg:(g + 1) * Wg],
+                             f_all[g * Wg:(g + 1) * Wg],
+                             jt_all[g * Wg:(g + 1) * Wg]))
+                 for g in range(G)]
+        # G x (3, L, Wg, B) -> (3, L, Wp, B)
+        buckets = jnp.concatenate(parts, axis=2)
 
     # ---- stage 4: PBPR, one kernel ----
     T = min(cfg.pbpr_threads, B)
