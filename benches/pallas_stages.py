@@ -2,11 +2,13 @@
 """Per-stage timing of the PRODUCTION pallas pipeline
 (cuzk/pipeline_pallas.py) — the breakdown the e2e number hides.
 
-Times each sub-piece of _windows_device_pallas with the exact shapes the
-pipeline uses at the given (n, config): encode, decompose, the hoisted
-global sort, the permutation row-gather, the prefix-scan kernel, bucket
-extraction (searchsorted + combined gathers + HS fill), and PBPR.
-The pieces deliberately mirror pipeline_pallas.py's internals (same
+Times each sub-piece of _windows_device_pallas with the exact shapes and
+kernels the pipeline uses at the given (n, config): encode_mont,
+decompose_digits, the hoisted batched sort, the double-sort boundary
+counts, and then per window group the permutation row-gather, the
+prefix_scan kernel, col_prefix, the no-fill boundary extraction
+(gathers + padd + psub), and finally the one-kernel pbpr_full. The
+pieces deliberately mirror pipeline_pallas.py's internals (same
 layouts, same kernel calls); if the pipeline changes, update both.
 
 Usage: python benches/pallas_stages.py [--n 65536] [--runs 3]
@@ -56,8 +58,9 @@ def main():
 
     from tpu_msm.config import default_config
     from tpu_msm.constants import BN254_S12
-    from tpu_msm.cuzk import decompose, kernels
+    from tpu_msm.cuzk import kernels
     from tpu_msm.cuzk.pipeline import get_pipeline
+    from tpu_msm.cuzk.pipeline_pallas import _bucket_counts
     from tpu_msm.utils import preprocess
 
     curve = BN254_S12
@@ -66,6 +69,7 @@ def main():
     n = min(pipe.padded_size(args.n), cfg.max_points_per_pass)
     L = curve.num_limbs
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
+    Wp = cfg.padded_windows
     C = min(cfg.columns, n)
     R = n // C
     B = cfg.half_columns
@@ -87,27 +91,38 @@ def main():
     ms, (xm, ym) = timeit(enc, (xs, ys), args.runs)
     emit("encode_mont", ms, f"{2*n} coords")
 
-    # stage 1b: decompose to int16 digits
-    dec = jax.jit(lambda h: decompose.decompose(h, cfg).astype(jnp.int16))
-    ms, digits = timeit(dec, (hw,), args.runs)
-    emit("decompose", ms, f"{W*n} digits")
-    if cfg.padded_windows > W:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((cfg.padded_windows - W, n), jnp.int16)], 0)
+    # stage 1b: fused decompose kernel to int16 digits, padded
+    def dec(h):
+        d = kernels.decompose_digits(h.astype(I32), cfg.window_size,
+                                     W).astype(jnp.int16)
+        if Wp > W:
+            d = jnp.concatenate(
+                [d, jnp.zeros((Wp - W, n), jnp.int16)], axis=0)
+        return d
+    ms, digits = timeit(jax.jit(dec), (hw,), args.runs)
+    emit("decompose_digits", ms, f"{W*n} digits")
 
-    # stage 2: hoisted global sort (packed-sign keys)
+    # stage 2: ONE hoisted batched sort (sign packed into the key)
     def sort_all(d):
         d32 = d.astype(I32)
         keys2 = (jnp.abs(d32) << 1) | (d32 < 0).astype(I32)
-        iota = jnp.broadcast_to(jnp.arange(n, dtype=I32),
-                                (cfg.padded_windows, n))
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=I32), (Wp, n))
         return jax.lax.sort((keys2, iota), dimension=-1, num_keys=1,
                             is_stable=False)
     ms, (skeys2_all, perm_all) = timeit(jax.jit(sort_all), (digits,),
                                         args.runs)
-    emit("sort_global", ms, f"{cfg.padded_windows}x{n} keys")
+    emit("sort_global", ms, f"{Wp}x{n} keys")
 
-    wv = jnp.arange(Wg, dtype=I32)[:, None]
+    # stage 2b: double-sort bucket boundary counts, all windows
+    def counts(k2):
+        return _bucket_counts(k2, n, B)
+    ms, cnt_all = timeit(jax.jit(counts), (skeys2_all,), args.runs)
+    emit("bucket_counts", ms, f"{Wp}x{B+1} boundaries")
+
+    p_all = jnp.maximum(cnt_all - 1, 0)
+    c_all = p_all // R
+    f_all = (jnp.arange(Wp, dtype=I32) % Wg)[:, None] * C + c_all
+    jt_all = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
 
     def to_kernel8(a):
         return (a.reshape(Wg, C, R).transpose(2, 0, 1)
@@ -133,77 +148,38 @@ def main():
     ms, tbuf = timeit(scan, (sx8, sy8, sign8), args.runs)
     emit("prefix_scan_group", ms, f"x{G} groups = {ms*G:.1f}")
 
-    # stage 3c: extraction (searchsorted + combined gathers + fill + sub)
-    def extract(skeys2_, tbuf_):
+    # stage 3c: col_prefix kernel + no-fill boundary extraction (one group)
+    inf_b1 = kernels.inf_stacked(curve, (Wg, 1))
+
+    def extract(tbuf_, cnt_g, f_g, jt_g):
         tflat = tbuf_.reshape(3, L, 8 * n8)
         coltot = tbuf_[:, (R - 1) * F8:].reshape(3, L, Wg, C)
-        inf_c = kernels.inf_stacked(curve, (Wg, 1))
-        excl = jnp.concatenate([inf_c, coltot[..., :-1]], axis=-1)
-        from tpu_msm.cuzk.pipeline_pallas import _hs_scan_last
-        S = _hs_scan_last(excl, curve)
+        S = kernels.col_prefix(coltot, curve)
         Sflat = S.reshape(3, L, Wg * C)
-        qs = jnp.arange(1, B + 2, dtype=I32) << 1
-        cnt = jax.vmap(
-            lambda sk: jnp.searchsorted(sk, qs, side="left"))(skeys2_)
-        e = cnt[:, 1:] - 1
-        empty = cnt[:, 1:] == cnt[:, :B]
-        n0 = cnt[:, 0]
-        p_all = jnp.concatenate(
-            [jnp.maximum(n0 - 1, 0)[:, None], jnp.maximum(e, 0)], axis=1)
-        c_all = p_all // R
 
         def flat_gather(src, idx):
             pm = src.reshape(3 * L, src.shape[-1]).T
-            rows_ = jnp.take(pm, idx.reshape(-1), axis=0)
-            return rows_.T.reshape((3, L) + idx.shape)
+            rows = jnp.take(pm, idx.reshape(-1), axis=0)
+            return rows.T.reshape((3, L) + idx.shape)
 
-        f_all = wv * C + c_all
-        jt = (f_all // F8) * n8 + (p_all % R) * F8 + (f_all % F8)
-        Tall = flat_gather(tflat, jt)
-        Sall = flat_gather(Sflat, f_all)
+        Tall = flat_gather(tflat, jt_g)
+        Sall = flat_gather(Sflat, f_g)
         Gall = kernels.padd_batch(Tall, Sall, curve)
-        Ge = Gall[..., 1:]
-        inf_b = kernels.inf_stacked(curve, (Wg, B))
-        G0 = jnp.where((n0 == 0)[None, None, :, None],
-                       inf_b[..., :1], Gall[..., :1])
-        vals = jnp.concatenate([G0, Ge[..., :-1]], axis=-1)
-        valid = jnp.concatenate(
-            [jnp.ones((Wg, 1), bool), (~empty)[..., :-1]], axis=-1)
-        k = 1
-        while k < B:
-            pad_v = jnp.broadcast_to(inf_b[..., :k], vals[..., :k].shape)
-            sh_vals = jnp.concatenate([pad_v, vals[..., :-k]], axis=-1)
-            sh_valid = jnp.concatenate(
-                [jnp.zeros((Wg, k), bool), valid[..., :-k]], axis=-1)
-            vals = jnp.where(valid[None, None], vals, sh_vals)
-            valid = valid | sh_valid
-            k *= 2
-        bucket = kernels.psub_batch(Ge, vals, curve)
-        return jnp.where(empty[None, None], inf_b, bucket)
-    ms, bucket = timeit(jax.jit(extract), (skeys2, tbuf), args.runs)
+        Gp = jnp.where((cnt_g == 0)[None, None], inf_b1, Gall)
+        return kernels.psub_batch(Gp[..., 1:], Gp[..., :-1], curve)
+    ms, bucket = timeit(jax.jit(extract),
+                        (tbuf, cnt_all[:Wg], f_all[:Wg], jt_all[:Wg]),
+                        args.runs)
     emit("extract_group", ms, f"x{G} groups = {ms*G:.1f}")
 
-    # stage 4: PBPR (full)
+    # stage 4: the one-kernel full PBPR
     buckets = jnp.broadcast_to(
-        bucket[:, :, :1, :], (3, L, cfg.padded_windows, B)).copy()
+        bucket[:, :, :1, :], (3, L, Wp, B)).copy()
     T = min(cfg.pbpr_threads, B)
-
-    def pbpr_full(bk):
-        m, g = kernels.pbpr_stage1(bk, curve, T)
-        bits = max((T - 1).bit_length(), 1)
-        t_ids = jnp.arange(T, dtype=I32)
-        inf_t = kernels.inf_stacked(curve, (cfg.padded_windows, 1, T))
-        masked = [g[:, :, :, None, :]]
-        for k in range(bits):
-            has = ((t_ids >> k) & 1).astype(bool)
-            masked.append(jnp.where(has[None, None, None, None],
-                                    m[:, :, :, None, :], inf_t))
-        allm = jnp.concatenate(masked, axis=3)
-        from tpu_msm.cuzk.pipeline_pallas import _hs_scan_last
-        totals = _hs_scan_last(allm, curve)[..., -1]
-        return totals
-    ms, _ = timeit(jax.jit(pbpr_full), (buckets,), args.runs)
-    emit("pbpr_full", ms, f"{cfg.padded_windows}x{B} buckets")
+    pb = jax.jit(functools.partial(kernels.pbpr_full, curve=curve,
+                                   threads=T))
+    ms, _ = timeit(pb, (buckets,), args.runs)
+    emit("pbpr_full_kernel", ms, f"{Wp}x{B} buckets, T={T}")
 
     # e2e for reference
     t0 = time.perf_counter()
