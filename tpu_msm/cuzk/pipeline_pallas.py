@@ -190,12 +190,23 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         rows = jnp.take(pm, idx.reshape(-1), axis=0)         # (K, 3L)
         return rows.T.reshape((3, L) + idx.shape)
 
+    # points-major row table for the BIG stream gather: one (n, 2L) row
+    # per point (x limbs || y limbs). `xm[:, perm8]` element-gathers
+    # L*8*n8 independent lookups per coordinate per group (the same
+    # ~48-100 ns/element scalar-loop lowering flat_gather documents);
+    # fetching whole 2L-limb point ROWS by sorted position and
+    # transposing back to the kernel layout moves the identical bytes
+    # as one vectorizable take + transpose.
+    pts_rows = jnp.concatenate([xm, ym], axis=0).T           # (n, 2L)
+
     def group_body(slices):
         skeys2, perm, cnt_g, f_g, jt_g = slices              # (Wg, ...) each
         perm8 = to_kernel8(perm)
         sign8 = to_kernel8(skeys2) & 1
-        sx8 = xm[:, perm8].reshape(L * 8, n8)
-        sy8 = ym[:, perm8].reshape(L * 8, n8)
+        srows = jnp.take(pts_rows, perm8.reshape(-1), axis=0)  # (8*n8, 2L)
+        sxy = srows.reshape(8, n8, 2 * L).transpose(2, 0, 1)   # (2L, 8, n8)
+        sx8 = sxy[:L].reshape(L * 8, n8)
+        sy8 = sxy[L:].reshape(L * 8, n8)
 
         # ---- stage 3: prefix scan + no-fill bucket extraction ----
         tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
