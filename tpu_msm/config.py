@@ -58,6 +58,14 @@ class MSMConfig:
     # until the TPU stage breakdown picks the per-size winners
     # (docs/perf_notes.md).
     glv: bool = False
+    # Window-group iteration strategy on the pallas backend: "unroll"
+    # (static python loop — known-good on the axon runtime, but host
+    # lowering and executable size scale with num_groups) or "fori"
+    # (lax.fori_loop with dynamic slices — one traced body regardless
+    # of G; lax.SCAN around pallas calls wedges this runtime's first
+    # execution, see pipeline_pallas.py, and fori lowers to a while-op
+    # instead).
+    group_loop: str = "unroll"
     # Points per device pass. Window sums are additive in the point set,
     # so larger inputs run as several passes of one compiled program and
     # combine on host with W point-adds — bounding HBM high-water (the
@@ -78,6 +86,8 @@ class MSMConfig:
             raise ValueError("pbpr_threads must divide the bucket count")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError("backend must be auto | xla | pallas")
+        if self.group_loop not in ("unroll", "fori"):
+            raise ValueError("group_loop must be unroll | fori")
         # top window must not overflow under signed-digit carry
         top_bits = self.effective_scalar_bits - s * (self.num_windows - 1)
         if top_bits >= s and not self.glv:

@@ -55,6 +55,18 @@ def _interpret() -> bool:
 _COMPILER_PARAMS = None if jax.default_backend() != "tpu" else     pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+@functools.lru_cache(maxsize=None)
+def _kfn(kernel, **kw):
+    """Memoized kernel partials: jax caches kernel-to-jaxpr tracing and
+    the Mosaic lowering by FUNCTION IDENTITY, so handing pallas_call a
+    fresh functools.partial per call-site re-traces and re-lowers the
+    identical kernel every time. With the group loop statically
+    unrolled (pipeline_pallas.py) that multiplied host lowering by G —
+    ~17 min at the 2^24 config's 16 groups. One interned partial per
+    (kernel, static-arg) tuple restores the cache hits."""
+    return functools.partial(kernel, **kw)
+
+
 def _stack3(p: rows.ProjRows) -> jnp.ndarray:
     return jnp.stack([jnp.stack(p.x), jnp.stack(p.y), jnp.stack(p.z)])
 
@@ -85,7 +97,7 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
     spec = pl.BlockSpec((L, S, bv), lambda g: (0, 0, g),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_encode_kernel, curve=curve, L=L, S=S),
+        _kfn(_encode_kernel, curve=curve, L=L, S=S),
         grid=(V // bv,),
         out_shape=jax.ShapeDtypeStruct((L, S, V), I32),
         in_specs=[spec], out_specs=spec,
@@ -159,7 +171,7 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     out_spec = pl.BlockSpec((3 * L8, f8), lambda r: (0, r),
                             memory_space=pltpu.VMEM)
     tbuf = pl.pallas_call(
-        functools.partial(_scan_kernel, curve=curve, L=L),
+        _kfn(_scan_kernel, curve=curve, L=L),
         grid=(R,),
         out_shape=jax.ShapeDtypeStruct((3 * L8, n8), I32),
         in_specs=[in_spec, in_spec, sg_spec],
@@ -203,7 +215,7 @@ def globalize(tbuf: jnp.ndarray, s8: jnp.ndarray, curve: CurveParams,
     s_spec = pl.BlockSpec((L8x3, f8), lambda r: (0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_globalize_kernel, curve=curve, L=L8x3 // 24),
+        _kfn(_globalize_kernel, curve=curve, L=L8x3 // 24),
         grid=(R,),
         out_shape=jax.ShapeDtypeStruct((L8x3, n8), I32),
         in_specs=[t_spec, s_spec],
@@ -260,7 +272,7 @@ def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
     spec = pl.BlockSpec((3 * L, 8, bv), lambda g: (0, 0, g),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_padd_kernel, curve=curve, L=L),
+        _kfn(_padd_kernel, curve=curve, L=L),
         grid=((Fp // 8) // bv,),
         out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
         in_specs=[spec, spec], out_specs=spec,
@@ -315,7 +327,7 @@ def pdbl_batch(p: jnp.ndarray, curve: CurveParams,
     spec = pl.BlockSpec((3 * L, 8, bv), lambda g: (0, 0, g),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_pdbl_kernel, curve=curve, L=L),
+        _kfn(_pdbl_kernel, curve=curve, L=L),
         grid=((Fp // 8) // bv,),
         out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
         in_specs=[spec], out_specs=spec,
@@ -382,7 +394,7 @@ def decompose_digits(halfwords: jnp.ndarray, s: int, W: int,
     out_spec = pl.BlockSpec((W, S, bv), lambda g: (0, 0, g),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_digits_kernel, s=s, W=W, H=H),
+        _kfn(_digits_kernel, s=s, W=W, H=H),
         grid=(V // bv,),
         out_shape=jax.ShapeDtypeStruct((W, S, V), I32),
         in_specs=[in_spec], out_specs=out_spec,
@@ -486,8 +498,7 @@ def col_prefix(coltot: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
     spec = pl.BlockSpec((rows8, C), lambda j: (0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_colprefix_kernel, curve=curve, L=L, Wg=Wg,
-                          levels=levels),
+        _kfn(_colprefix_kernel, curve=curve, L=L, Wg=Wg, levels=levels),
         grid=(levels + 1,),
         out_shape=jax.ShapeDtypeStruct((rows8, C), I32),
         in_specs=[spec], out_specs=spec,
@@ -670,8 +681,7 @@ def pbpr_full(buckets: jnp.ndarray, curve: CurveParams,
     out_spec = pl.BlockSpec((rw8, T), lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_pbpr_full_kernel, curve=curve, L=L, W=W, Bt=Bt,
-                          T=T, goff=rw8),
+        _kfn(_pbpr_full_kernel, curve=curve, L=L, W=W, Bt=Bt, T=T, goff=rw8),
         grid=(Bt + 2 * bits + dbl + 2,),
         out_shape=jax.ShapeDtypeStruct((rw8, T), I32),
         in_specs=[in_spec],
@@ -718,8 +728,7 @@ def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,
     out_spec = pl.BlockSpec((rw8, T), lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
     m, g = pl.pallas_call(
-        functools.partial(_pbpr_kernel, curve=curve, L=L, W=W, Bt=Bt,
-                          goff=rw8),
+        _kfn(_pbpr_kernel, curve=curve, L=L, W=W, Bt=Bt, goff=rw8),
         grid=(Bt,),
         out_shape=(jax.ShapeDtypeStruct((rw8, T), I32),
                    jax.ShapeDtypeStruct((rw8, T), I32)),

@@ -233,6 +233,22 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     if G == 1:
         buckets = group_body((skeys2_all, perm_all, cnt_all, f_all, jt_all))
         buckets = buckets.reshape(3, L, Wp, B)
+    elif cfg.group_loop == "fori":
+        # lax.fori_loop: ONE traced/lowered body regardless of G (the
+        # unrolled form's host lowering and executable size scale with
+        # G — ~75 s and ~1.5 MB of embedded Mosaic per group at L=22).
+        # NOT lax.scan: a scan whose body contains pallas custom-calls
+        # wedges this runtime's first execution indefinitely (bisected
+        # on-device in r3); fori lowers to a while-op instead.
+        def fbody(g, bks):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, g * Wg, Wg, axis=0)
+            bucket = group_body((sl(skeys2_all), sl(perm_all),
+                                 sl(cnt_all), sl(f_all), sl(jt_all)))
+            return jax.lax.dynamic_update_slice_in_dim(
+                bks, bucket, g * Wg, axis=2)
+        buckets = jax.lax.fori_loop(
+            0, G, fbody, jnp.zeros((3, L, Wp, B), I32))
     else:
         # STATIC python unroll over window groups, NOT lax.scan: a scan
         # whose body contains pallas custom-calls wedges this runtime's
