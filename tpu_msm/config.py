@@ -173,5 +173,11 @@ def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
     if n <= (1 << 22):
         return MSMConfig(curve=curve, window_size=14, columns=4096,
                          pbpr_threads=256, subtask_group=2)
+    # 2^23..2^24: one 2^23 pass OOMs a 16 GB v5e (the sort double
+    # buffers + the points-major row table + per-group stream push peak
+    # ~15 GB, RESOURCE_EXHAUSTED measured r3); 2^22-point passes halve
+    # every stream-proportional buffer and the passes pipeline behind
+    # the h2d overlap.
     return MSMConfig(curve=curve, window_size=16, columns=8192,
-                     pbpr_threads=512, subtask_group=1)
+                     pbpr_threads=512, subtask_group=1,
+                     max_points_per_pass=1 << 22)
