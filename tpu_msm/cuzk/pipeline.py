@@ -106,8 +106,16 @@ class MSMPipeline:
         # take ("Some donated buffers were not usable" on every call,
         # VERDICT r2 weak #6). Input HBM high-water is bounded instead
         # by max_points_per_pass chunking (window_sums below).
-        self._fn = jax.jit(functools.partial(
-            self.windows_fn(config), cfg=config))
+        wfn = functools.partial(self.windows_fn(config), cfg=config)
+
+        def stacked(xs, ys, hw):
+            # ONE (3, L, Wp) output instead of a 3-array ProjPoint: the
+            # result leaves the device as a single d2h fetch (each
+            # fetch through the axon tunnel is latency-bound, ~10 ms)
+            g = wfn(xs, ys, hw)
+            return jnp.stack([g.x, g.y, g.z])
+
+        self._fn = jax.jit(stacked)
 
     @staticmethod
     def windows_fn(config: MSMConfig):
@@ -199,12 +207,13 @@ class MSMPipeline:
         return self._decode_windows(self._fn(
             jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(halfwords)))
 
-    def _decode_windows(self, g: ProjPoint) -> List[JacInt]:
+    def _decode_windows(self, g) -> List[JacInt]:
         cfg = self.config
         c = cfg.curve
-        gx = planar_signed_to_ints_modp(np.asarray(g.x), c)
-        gy = planar_signed_to_ints_modp(np.asarray(g.y), c)
-        gz = planar_signed_to_ints_modp(np.asarray(g.z), c)
+        arr = np.asarray(g)                      # (3, L, Wp), one fetch
+        gx = planar_signed_to_ints_modp(arr[0], c)
+        gy = planar_signed_to_ints_modp(arr[1], c)
+        gz = planar_signed_to_ints_modp(arr[2], c)
         out = []
         for x, y, z in zip(gx, gy, gz):
             if z == 0:
