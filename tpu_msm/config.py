@@ -170,14 +170,17 @@ def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
     if n < (1 << 19):
         return MSMConfig(curve=curve, window_size=13, columns=2048,
                          pbpr_threads=256, subtask_group=4)
-    if n <= (1 << 22):
+    if n < (1 << 20):
         return MSMConfig(curve=curve, window_size=14, columns=4096,
                          pbpr_threads=256, subtask_group=2)
-    # 2^23..2^24: one 2^23 pass OOMs a 16 GB v5e (the sort double
-    # buffers + the points-major row table + per-group stream push peak
-    # ~15 GB, RESOURCE_EXHAUSTED measured r3); 2^22-point passes halve
-    # every stream-proportional buffer and the passes pipeline behind
-    # the h2d overlap.
+    # >= 2^20: the wide-window profile measured fastest on v5e in r3
+    # (2^20: s=16 1274 ms vs s=15 1381 vs s=14 1669; 2^22: s=16
+    # 5012 ms vs s=14 6624 ms) — W drops 19 -> 16 and every
+    # window-proportional stage shrinks with it.
+    # One 2^23 pass OOMs a 16 GB v5e (sort double buffers + the
+    # points-major row table + per-group stream peak ~15 GB,
+    # RESOURCE_EXHAUSTED measured r3); 2^22-point passes halve every
+    # stream-proportional buffer and pipeline behind the h2d overlap.
     return MSMConfig(curve=curve, window_size=16, columns=8192,
                      pbpr_threads=512, subtask_group=1,
                      max_points_per_pass=1 << 22)

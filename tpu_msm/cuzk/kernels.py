@@ -114,40 +114,48 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
 
 
 def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
-                 curve: CurveParams, L: int):
+                 curve: CurveParams, L: int, K: int, f8: int):
     r = pl.program_id(0)
     S = 8
 
     @pl.when(r == 0)
     def _():
-        zero = sx_ref[0:S, :] * 0
+        zero = sx_ref[0:S, 0:f8] * 0
         one = int_to_limbs(curve.r_mod_p, L, curve.log_limb_size)
         for i in range(L):
             carry_ref[i * S:(i + 1) * S, :] = zero
             carry_ref[(L + i) * S:(L + i + 1) * S, :] = zero + one[i]
             carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = zero
 
-    x = [sx_ref[i * S:(i + 1) * S, :] for i in range(L)]
-    y = [sy_ref[i * S:(i + 1) * S, :] for i in range(L)]
-    sign = sg_ref[:, :]                       # (8, F8) int32 0/1
-    yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
-    y = rows.select_rows(sign != 0, yneg, y)
-    carry = rows.ProjRows(
+    # K stream rows per grid step (static inner unroll): amortizes the
+    # per-step costs (grid dispatch, scratch round-trip, DMA ramp) over
+    # K sequential point-adds — at large n the scan's grid depth R is
+    # the pipeline's longest sequential chain, so per-step overhead is
+    # multiplied by R/K, not R.
+    acc = rows.ProjRows(
         [carry_ref[i * S:(i + 1) * S, :] for i in range(L)],
         [carry_ref[(L + i) * S:(L + i + 1) * S, :] for i in range(L)],
         [carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] for i in range(L)])
-    acc = rows.pmadd_rows(carry, x, y, curve)
+    for j in range(K):
+        sl = slice(j * f8, (j + 1) * f8)
+        x = [sx_ref[i * S:(i + 1) * S, sl] for i in range(L)]
+        y = [sy_ref[i * S:(i + 1) * S, sl] for i in range(L)]
+        sign = sg_ref[:, sl]                      # (8, f8) int32 0/1
+        yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
+        y = rows.select_rows(sign != 0, yneg, y)
+        acc = rows.pmadd_rows(acc, x, y, curve)
+        for i in range(L):
+            o_ref[i * S:(i + 1) * S, sl] = acc.x[i]
+            o_ref[(L + i) * S:(L + i + 1) * S, sl] = acc.y[i]
+            o_ref[(2 * L + i) * S:(2 * L + i + 1) * S, sl] = acc.z[i]
     for i in range(L):
         carry_ref[i * S:(i + 1) * S, :] = acc.x[i]
         carry_ref[(L + i) * S:(L + i + 1) * S, :] = acc.y[i]
         carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = acc.z[i]
-        o_ref[i * S:(i + 1) * S, :] = acc.x[i]
-        o_ref[(L + i) * S:(L + i + 1) * S, :] = acc.y[i]
-        o_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] = acc.z[i]
 
 
 def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
-                curve: CurveParams, f8: int) -> jnp.ndarray:
+                curve: CurveParams, f8: int, unroll: int = 4) -> jnp.ndarray:
     """Running prefix sums of the sorted, sign-folded point stream.
 
     Full-sublane layout: per grid step the kernel consumes (8, F8)
@@ -159,20 +167,30 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     sx8, sy8: (L*8, R*F8) int32 Montgomery coords; block r covers
         stream positions [r*F, (r+1)*F) of the window group.
     sign8: (8, R*F8) negative-digit flags, same layout.
+    unroll: stream rows folded per grid step (clipped to a power-of-two
+        divisor of R and to ~64 MB of VMEM blocks).
     Returns tbuf (3*L*8, R*F8): inclusive per-lane prefix points.
     """
     L8, n8 = sx8.shape
     L = L8 // 8
     R = n8 // f8
-    in_spec = pl.BlockSpec((L8, f8), lambda r: (0, r),
+    K = max(1, min(unroll, R))
+    while R % K:
+        K -= 1
+    # VMEM bound: in (2x) + out (3x) + sign blocks of K*f8 lanes x L8
+    # rows x 4 B; keep under ~64 MB so double-buffering fits the 128 MB
+    while K > 1 and (6 * L8 * K * f8 * 4) > (64 << 20):
+        K //= 2
+    kf8 = K * f8
+    in_spec = pl.BlockSpec((L8, kf8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
-    sg_spec = pl.BlockSpec((8, f8), lambda r: (0, r),
+    sg_spec = pl.BlockSpec((8, kf8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((3 * L8, f8), lambda r: (0, r),
+    out_spec = pl.BlockSpec((3 * L8, kf8), lambda r: (0, r),
                             memory_space=pltpu.VMEM)
     tbuf = pl.pallas_call(
-        _kfn(_scan_kernel, curve=curve, L=L),
-        grid=(R,),
+        _kfn(_scan_kernel, curve=curve, L=L, K=K, f8=f8),
+        grid=(R // K,),
         out_shape=jax.ShapeDtypeStruct((3 * L8, n8), I32),
         in_specs=[in_spec, in_spec, sg_spec],
         out_specs=out_spec,
