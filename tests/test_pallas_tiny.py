@@ -105,6 +105,27 @@ def test_bucket_counts_oracle():
 
 
 # ---------------------------------------------------------------------------
+# prefix_scan row-unroll equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_scan_unroll_bit_identical():
+    """K stream rows per grid step (kernels.prefix_scan unroll) is pure
+    loop restructuring — outputs must match the K=1 form bit-for-bit."""
+    F8, R = 16, 8
+    rng = np.random.default_rng(13)
+    sx = jnp.asarray(rng.integers(0, 1 << 12, (L * 8, R * F8),
+                                  dtype=np.int32))
+    sy = jnp.asarray(rng.integers(0, 1 << 12, (L * 8, R * F8),
+                                  dtype=np.int32))
+    sg = jnp.asarray(rng.integers(0, 2, (8, R * F8), dtype=np.int32))
+    o1 = kernels.prefix_scan(sx, sy, sg, C, F8, unroll=1)
+    for k in (2, 4, 8):
+        ok = kernels.prefix_scan(sx, sy, sg, C, F8, unroll=k)
+        assert jnp.array_equal(o1, ok), k
+
+
+# ---------------------------------------------------------------------------
 # col_prefix kernel vs python prefix sums
 # ---------------------------------------------------------------------------
 

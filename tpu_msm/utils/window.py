@@ -116,15 +116,18 @@ def _cache_key(curve: CurveParams, n: int) -> str:
     return f"{kind}/{curve.name}/{n}"
 
 
+_TUNED_FIELDS = ("window_size", "columns", "pbpr_threads",
+                 "subtask_group", "max_points_per_pass")
+
+
 def cached_config(n: int, curve: CurveParams = BN254_S12):
     """Best measured config for (device, curve, n) if autotuned before."""
     from ..config import MSMConfig
     rec = _load_cache().get(_cache_key(curve, n))
     if not rec:
         return None
-    return MSMConfig(curve=curve, **{k: rec[k] for k in
-                                     ("window_size", "columns",
-                                      "pbpr_threads", "subtask_group")})
+    return MSMConfig(curve=curve,
+                     **{k: rec[k] for k in _TUNED_FIELDS if k in rec})
 
 
 def autotune(n: int, curve: CurveParams = BN254_S12, runs: int = 2,
@@ -176,9 +179,7 @@ def autotune(n: int, curve: CurveParams = BN254_S12, runs: int = 2,
     best, best_ms = min(results, key=lambda r: r[1])
     cache = _load_cache()
     cache[_cache_key(curve, n)] = {
-        "window_size": best.window_size, "columns": best.columns,
-        "pbpr_threads": best.pbpr_threads,
-        "subtask_group": best.subtask_group, "ms": round(best_ms, 2),
-    }
+        k: getattr(best, k) for k in _TUNED_FIELDS
+    } | {"ms": round(best_ms, 2)}
     _save_cache(cache)
     return best, results
