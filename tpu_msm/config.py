@@ -167,16 +167,14 @@ def default_config(n: int, curve: CurveParams = BN254_S12) -> MSMConfig:
     if n < (1 << 14):
         return MSMConfig(curve=curve, window_size=10, columns=256,
                          pbpr_threads=64, subtask_group=8)
-    if n < (1 << 19):
+    if n < (1 << 18):
         return MSMConfig(curve=curve, window_size=13, columns=2048,
                          pbpr_threads=256, subtask_group=4)
-    if n < (1 << 20):
-        return MSMConfig(curve=curve, window_size=14, columns=4096,
-                         pbpr_threads=256, subtask_group=2)
-    # >= 2^20: the wide-window profile measured fastest on v5e in r3
-    # (2^20: s=16 1274 ms vs s=15 1381 vs s=14 1669; 2^22: s=16
-    # 5012 ms vs s=14 6624 ms) — W drops 19 -> 16 and every
-    # window-proportional stage shrinks with it.
+    # >= 2^18: the wide-window profile measured fastest on v5e in r3
+    # (2^18: s=16 182 ms vs s=13 200; 2^20: s=16 1274 ms vs s=15 1381
+    # vs s=14 1669; 2^22: s=16 5012 ms vs s=14 6624 ms) — W drops to
+    # 16 and every window-proportional stage shrinks with it. Wg=2/4
+    # re-measured WORSE at 2^20 (1349/1336 ms) — keep Wg=1.
     # One 2^23 pass OOMs a 16 GB v5e (sort double buffers + the
     # points-major row table + per-group stream peak ~15 GB,
     # RESOURCE_EXHAUSTED measured r3); 2^22-point passes halve every
