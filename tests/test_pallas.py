@@ -91,8 +91,10 @@ def test_psub_is_group_subtraction():
 @tpu_only
 def test_prefix_scan_matches_pmadd_chain():
     # kernel-layout test: random (L*8, R*F8) streams, kernel prefix sums
-    # vs a stacked-op pmadd chain over the same blocks
-    F8, R = 8, 8
+    # vs a stacked-op pmadd chain over the same blocks. F8 must be a
+    # multiple of 128: Mosaic requires non-full lane blocks to tile by
+    # 128 (the production pipeline always has F8 = Wg*C/8 >= 256).
+    F8, R = 128, 4
     n8 = R * F8
     pts, _ = ref.gen_points_scalars(C, 8 * n8, seed=10)
     from tpu_msm.utils.limbs_conversion import points_to_planar

@@ -181,6 +181,10 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     # rows x 4 B; keep under ~64 MB so double-buffering fits the 128 MB
     while K > 1 and (6 * L8 * K * f8 * 4) > (64 << 20):
         K //= 2
+    # Mosaic lane-blocking: a non-full block's lane extent must tile the
+    # array by 128s; K=1 keeps the pre-unroll (always-valid) shape
+    while K > 1 and (K * f8) % 128 and K * f8 != n8:
+        K //= 2
     kf8 = K * f8
     in_spec = pl.BlockSpec((L8, kf8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
