@@ -138,8 +138,13 @@ def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
         [carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] for i in range(L)])
     for j in range(K):
         sl = slice(j * f8, (j + 1) * f8)
-        x = [sx_ref[i * S:(i + 1) * S, sl] for i in range(L)]
-        y = [sy_ref[i * S:(i + 1) * S, sl] for i in range(L)]
+        # stream coords arrive int16 (canonical limbs < 2^w <= 2^13
+        # fit exactly) — HALF the HBM traffic of the pipeline's
+        # biggest input; widen to i32 lanes for the limb math
+        x = [sx_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
+             for i in range(L)]
+        y = [sy_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
+             for i in range(L)]
         sign = sg_ref[:, sl]                      # (8, f8) int32 0/1
         yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
         y = rows.select_rows(sign != 0, yneg, y)

@@ -196,8 +196,12 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     # ~48-100 ns/element scalar-loop lowering flat_gather documents);
     # fetching whole 2L-limb point ROWS by sorted position and
     # transposing back to the kernel layout moves the identical bytes
-    # as one vectorizable take + transpose.
-    pts_rows = jnp.concatenate([xm, ym], axis=0).T           # (n, 2L)
+    # as one vectorizable take + transpose. Stored int16: encode_mont /
+    # apply_glv emit CANONICAL limbs (< 2^w <= 2^13), so 16 bits hold
+    # them exactly and the gather+transpose+kernel-input traffic — the
+    # pipeline's biggest byte stream — halves; the scan kernel widens
+    # on read.
+    pts_rows = jnp.concatenate([xm, ym], axis=0).astype(jnp.int16).T
 
     def group_body(slices):
         skeys2, perm, cnt_g, f_g, jt_g = slices              # (Wg, ...) each
