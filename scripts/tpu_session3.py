@@ -21,7 +21,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "benches", "tpu_session3.jsonl")
 
 
-def run_case(env_extra, label, timeout_s=3600):
+def run_case(env_extra, label, timeout_s=3600, retries=1):
+    """One bench.py subprocess. The axon runtime occasionally wedges a
+    first execution forever when a previous TPU client exited uncleanly
+    (device->host fetch blocks; diagnosed via faulthandler in r3) — so
+    each case runs under a hard timeout with one retry after a cool-off."""
+    for attempt in range(retries + 1):
+        rec = _run_once(env_extra, label, timeout_s)
+        if rec.get("ok") or rec.get("error") != "timeout":
+            return rec
+        time.sleep(20)
+    return rec
+
+
+def _run_once(env_extra, label, timeout_s):
     env = dict(os.environ)
     env.update({k: str(v) for k, v in env_extra.items()})
     t0 = time.time()
