@@ -45,7 +45,7 @@ except (ImportError, ValueError, OSError):
 _FAST_MODULES = {
     "test_constants", "test_limbs", "test_field", "test_mont", "test_lazy",
     "test_rows", "test_barrett", "test_oracle", "test_window",
-    "test_inverse", "test_glv", "test_example_app",
+    "test_inverse", "test_glv", "test_example_app", "test_known_answer",
 }
 
 
