@@ -209,3 +209,21 @@ def test_e2e_pallas_tiny_grouped():
     cfg = MSMConfig(curve=C, window_size=8, columns=64, pbpr_threads=16,
                     subtask_group=4, backend="pallas")
     _e2e_case(cfg, 256, seed=77)
+
+
+def test_e2e_pallas_tiny_fori_matches_unroll():
+    # The G>1 window-group loop has two lowerings: static python unroll
+    # and lax.fori_loop over one traced body (the default — device-
+    # validated EXACT on TPU in r4, and the compile-cost fix for the
+    # axon remote compiler whose cost scales with unrolled group count).
+    # Both must produce bit-identical window sums.
+    base = dict(curve=C, window_size=8, columns=64, pbpr_threads=16,
+                subtask_group=4, backend="pallas")
+    pts, scalars = ref.gen_points_scalars(C, 256, seed=83)
+    a = tpu_variable_base_msm(pts, scalars,
+                              config=MSMConfig(group_loop="fori", **base))
+    b = tpu_variable_base_msm(pts, scalars,
+                              config=MSMConfig(group_loop="unroll", **base))
+    assert ref.jac_eq(C, a, b)
+    want = ref.msm_pippenger_signed(C, pts, scalars, window=8)
+    assert ref.jac_eq(C, a, want)

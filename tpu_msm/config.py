@@ -58,14 +58,17 @@ class MSMConfig:
     # until the TPU stage breakdown picks the per-size winners
     # (docs/perf_notes.md).
     glv: bool = False
-    # Window-group iteration strategy on the pallas backend: "unroll"
-    # (static python loop — known-good on the axon runtime, but host
-    # lowering and executable size scale with num_groups) or "fori"
-    # (lax.fori_loop with dynamic slices — one traced body regardless
-    # of G; lax.SCAN around pallas calls wedges this runtime's first
-    # execution, see pipeline_pallas.py, and fori lowers to a while-op
-    # instead).
-    group_loop: str = "unroll"
+    # Window-group iteration strategy on the pallas backend: "fori"
+    # (lax.fori_loop with dynamic slices — ONE traced body regardless of
+    # G, the default) or "unroll" (static python loop — host lowering,
+    # remote-compile cost, and executable size all scale with
+    # num_groups). fori was device-validated in r4: EXACT at 2^16 and
+    # FASTER than the unrolled form (64.0 vs 112.4 ms) with the compile
+    # down from the G-scaled worst case that blew the r3 driver budget
+    # (BENCH_r03 rc=124). lax.SCAN around pallas calls wedges this
+    # runtime's first execution (see pipeline_pallas.py); fori lowers to
+    # a while-op instead and does not.
+    group_loop: str = "fori"
     # Points per device pass. Window sums are additive in the point set,
     # so larger inputs run as several passes of one compiled program and
     # combine on host with W point-adds — bounding HBM high-water (the

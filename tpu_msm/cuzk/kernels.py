@@ -120,7 +120,7 @@ def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
 
     @pl.when(r == 0)
     def _():
-        zero = sx_ref[0:S, 0:f8] * 0
+        zero = sx_ref[0:S, 0:f8].astype(jnp.int32) * 0
         one = int_to_limbs(curve.r_mod_p, L, curve.log_limb_size)
         for i in range(L):
             carry_ref[i * S:(i + 1) * S, :] = zero
@@ -149,10 +149,17 @@ def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
         yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
         y = rows.select_rows(sign != 0, yneg, y)
         acc = rows.pmadd_rows(acc, x, y, curve)
+        # tbuf leaves the kernel int16: padd/pmadd output limbs lie in
+        # (-2^w, 2^(w+1)) (canonical-mul limbs < 2^w, one lazy add/sub
+        # with k*p <= 2p limbwise), so w <= 13 fits int16 exactly —
+        # HALVING the pipeline's biggest custom-call output stream
+        # (3L x n lanes). The int32 running value stays in carry_ref.
+        o16 = o_ref.dtype
         for i in range(L):
-            o_ref[i * S:(i + 1) * S, sl] = acc.x[i]
-            o_ref[(L + i) * S:(L + i + 1) * S, sl] = acc.y[i]
-            o_ref[(2 * L + i) * S:(2 * L + i + 1) * S, sl] = acc.z[i]
+            o_ref[i * S:(i + 1) * S, sl] = acc.x[i].astype(o16)
+            o_ref[(L + i) * S:(L + i + 1) * S, sl] = acc.y[i].astype(o16)
+            o_ref[(2 * L + i) * S:(2 * L + i + 1) * S, sl] = \
+                acc.z[i].astype(o16)
     for i in range(L):
         carry_ref[i * S:(i + 1) * S, :] = acc.x[i]
         carry_ref[(L + i) * S:(L + i + 1) * S, :] = acc.y[i]
@@ -197,16 +204,21 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((3 * L8, kf8), lambda r: (0, r),
                             memory_space=pltpu.VMEM)
+    # int16 output: prefix-point limbs are bounded by (-2^w, 2^(w+1))
+    # (see _scan_kernel) — exact in 16 bits for every shipped profile
+    # (w <= 13); the int32 fallback keeps hypothetical wide-limb curves
+    # correct.
+    odt = jnp.int16 if curve.log_limb_size <= 13 else I32
     tbuf = pl.pallas_call(
         _kfn(_scan_kernel, curve=curve, L=L, K=K, f8=f8),
         grid=(R // K,),
-        out_shape=jax.ShapeDtypeStruct((3 * L8, n8), I32),
+        out_shape=jax.ShapeDtypeStruct((3 * L8, n8), odt),
         in_specs=[in_spec, in_spec, sg_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((3 * L8, f8), I32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(sx8, sy8, sign8.astype(I32))
+    )(sx8, sy8, sign8.astype(jnp.int16))
     return tbuf
 
 
@@ -260,26 +272,32 @@ def globalize(tbuf: jnp.ndarray, s8: jnp.ndarray, curve: CurveParams,
 
 def _padd_kernel(p_ref, q_ref, o_ref, *, curve: CurveParams, L: int):
     def pt(ref):
-        return rows.ProjRows([ref[i] for i in range(L)],
-                             [ref[L + i] for i in range(L)],
-                             [ref[2 * L + i] for i in range(L)])
+        # inputs may arrive int16 (gathered tbuf / col-prefix slices)
+        return rows.ProjRows([ref[i].astype(I32) for i in range(L)],
+                             [ref[L + i].astype(I32) for i in range(L)],
+                             [ref[2 * L + i].astype(I32) for i in range(L)])
     s = rows.padd_rows(pt(p_ref), pt(q_ref), curve)
+    dt = o_ref.dtype
     for i in range(L):
-        o_ref[i] = s.x[i]
-        o_ref[L + i] = s.y[i]
-        o_ref[2 * L + i] = s.z[i]
+        o_ref[i] = s.x[i].astype(dt)
+        o_ref[L + i] = s.y[i].astype(dt)
+        o_ref[2 * L + i] = s.z[i].astype(dt)
 
 
 def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
-               block: int = 512, alias_p: bool = False) -> jnp.ndarray:
+               block: int = 512, alias_p: bool = False,
+               out_dtype=None) -> jnp.ndarray:
     """Complete projective add on stacked batches.
 
-    p, q: (3, L, *batch) int32 lazy limbs (values < 4p). Returns the same
-    shape. Batch is flattened and blocked over an (8, block) grid; lanes
+    p, q: (3, L, *batch) int32 OR int16 lazy limbs (values < 4p; int16
+    requires the (-2^w, 2^(w+1)) limb bound every kernel in this file
+    maintains). Returns the same shape, dtype `out_dtype` (default
+    int32). Batch is flattened and blocked over an (8, block) grid; lanes
     are padded to a multiple of 8*block with zeros (harmless: garbage in,
     garbage out in dropped lanes). alias_p=True reuses p's buffer for the
-    output (donation) — only when the caller is done with p; saves a full
-    result allocation on big streams (the gbuf globalize pass)."""
+    output (donation) — only when the caller is done with p AND dtypes
+    match; saves a full result allocation on big streams (the gbuf
+    globalize pass)."""
     L = p.shape[1]
     batch_shape = p.shape[2:]
     F = 1
@@ -301,7 +319,8 @@ def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
     out = pl.pallas_call(
         _kfn(_padd_kernel, curve=curve, L=L),
         grid=((Fp // 8) // bv,),
-        out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
+        out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8),
+                                       out_dtype or I32),
         in_specs=[spec, spec], out_specs=spec,
         input_output_aliases={0: 0} if alias_p else {},
         compiler_params=_COMPILER_PARAMS,
@@ -312,17 +331,20 @@ def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
 
 def pneg_stacked(p: jnp.ndarray, curve: CurveParams, k: int = 4) -> jnp.ndarray:
     """Point negation on a stacked (3, L, ...) batch: y -> k*p - y.
-    Pure elementwise — fast in plain XLA, no kernel needed."""
+    Pure elementwise — fast in plain XLA, no kernel needed. Preserves an
+    int16 input dtype (k*p limbs < 2^w and y limbs > -2^(w+1) keep the
+    result inside 16 bits for w <= 13)."""
     L = p.shape[1]
     kp = jnp.array(int_to_limbs(k * curve.p, L, curve.log_limb_size),
-                   I32).reshape(L, *([1] * (p.ndim - 2)))
+                   p.dtype).reshape(L, *([1] * (p.ndim - 2)))
     return jnp.stack([p[0], kp - p[1], p[2]])
 
 
 def psub_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
-               block: int = 512) -> jnp.ndarray:
+               block: int = 512, out_dtype=None) -> jnp.ndarray:
     """p - q on stacked batches (q.y must be < 4p)."""
-    return padd_batch(p, pneg_stacked(q, curve), curve, block)
+    return padd_batch(p, pneg_stacked(q, curve), curve, block,
+                      out_dtype=out_dtype)
 
 
 def _pdbl_kernel(p_ref, o_ref, *, curve: CurveParams, L: int):
@@ -460,6 +482,12 @@ def _pt_bands(ref, L: int, W: int, base: int = 0) -> rows.ProjRows:
     return rows.ProjRows(coord(0), coord(1), coord(2))
 
 
+def _widen_rows(p: rows.ProjRows) -> rows.ProjRows:
+    """int16-stored point rows -> int32 for the limb arithmetic."""
+    w = lambda rs: [r.astype(I32) for r in rs]
+    return rows.ProjRows(w(p.x), w(p.y), w(p.z))
+
+
 def _write_bands(ref, p: rows.ProjRows, L: int, W: int, base: int = 0):
     for c, coord in enumerate((p.x, p.y, p.z)):
         for i in range(L):
@@ -509,7 +537,9 @@ def _colprefix_kernel(in_ref, o_ref, v_ref, sh_ref, *, curve: CurveParams,
 
     @pl.when(j == levels)
     def _():
-        o_ref[:] = v_ref[:]
+        # same (-2^w, 2^(w+1)) limb bound as the scan kernel's output
+        # (every level's point is a padd_rows result) -> int16 out
+        o_ref[:] = v_ref[:].astype(o_ref.dtype)
 
 
 def col_prefix(coltot: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
@@ -519,15 +549,19 @@ def col_prefix(coltot: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
     levels = max(C.bit_length() - 1, 1)
     rw = 3 * L * Wg
     rows8 = -(-rw // 8) * 8
-    a = coltot.reshape(rw, C)
+    # accepts the scan kernel's int16 tbuf slice; internal accumulation
+    # runs int32 in scratch, and the result leaves int16 again (the
+    # padd_rows limb bound is level-independent)
+    a = coltot.reshape(rw, C).astype(I32)
     if rows8 != rw:
         a = jnp.pad(a, ((0, rows8 - rw), (0, 0)))
+    odt = jnp.int16 if curve.log_limb_size <= 13 else I32
     spec = pl.BlockSpec((rows8, C), lambda j: (0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kfn(_colprefix_kernel, curve=curve, L=L, Wg=Wg, levels=levels),
         grid=(levels + 1,),
-        out_shape=jax.ShapeDtypeStruct((rows8, C), I32),
+        out_shape=jax.ShapeDtypeStruct((rows8, C), odt),
         in_specs=[spec], out_specs=spec,
         scratch_shapes=[pltpu.VMEM((rows8, C), I32),
                         pltpu.VMEM((rows8, C), I32)],
@@ -568,7 +602,7 @@ def _pbpr_kernel(b_ref, m_ref, g_ref, mg_ref, *, curve: CurveParams,
             [ref[base + (2 * L + i) * W:base + (2 * L + i + 1) * W, :]
              for i in range(L)])
 
-    bucket = pt_rows(b_ref, 0)
+    bucket = _widen_rows(pt_rows(b_ref, 0))
     m = pt_rows(mg_ref, 0)
     g = pt_rows(mg_ref, goff)
     m = rows.padd_rows(m, bucket, curve)
@@ -619,7 +653,9 @@ def _pbpr_full_kernel(b_ref, o_ref, mg_ref, sh_ref, *, curve: CurveParams,
     # ---- stage 1 ----
     @pl.when(j < Bt)
     def _():
-        bucket = _pt_bands(b_ref, L, W)
+        # buckets arrive int16 from the extraction stage (psub_batch
+        # limb bound, pipeline_pallas.py); widen for the limb math
+        bucket = _widen_rows(_pt_bands(b_ref, L, W))
         m = rows.padd_rows(_pt_bands(mg_ref, L, W), bucket, curve)
         g = rows.padd_rows(_pt_bands(mg_ref, L, W, goff), m, curve)
         _write_bands(mg_ref, m, L, W)

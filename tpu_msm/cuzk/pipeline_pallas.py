@@ -213,6 +213,11 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         sy8 = sxy[L:].reshape(L * 8, n8)
 
         # ---- stage 3: prefix scan + no-fill bucket extraction ----
+        # tbuf and S come back int16 (limb bound (-2^w, 2^(w+1)), see
+        # kernels.prefix_scan) — the scan output, its boundary gathers,
+        # and the bucket stream below are the pipeline's biggest
+        # custom-call byte streams, and on this runtime wall overhead
+        # scales with custom-call boundary bytes (r3/r4 traces).
         tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
         tflat = tbuf.reshape(3, L, 8 * n8)
         coltot = tbuf[:, (R - 1) * F8:].reshape(3, L, Wg, C)
@@ -230,9 +235,14 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
 
         # bucket b (multiplier b+1) = G(end of its region) - G(end of
         # the previous region); empty buckets cancel to inf by the
-        # complete-subtraction identity — no masks, no fill.
-        bucket = kernels.psub_batch(Gp[..., 1:], Gp[..., :-1], curve)
+        # complete-subtraction identity — no masks, no fill. int16 out:
+        # halves the (3, L, Wp, B) bucket stream into PBPR (and the fori
+        # carry that accumulates it).
+        bucket = kernels.psub_batch(Gp[..., 1:], Gp[..., :-1], curve,
+                                    out_dtype=tbuf.dtype)
         return bucket                                        # (3,L,Wg,B)
+
+    bdt = jnp.int16 if curve.log_limb_size <= 13 else I32
 
     if G == 1:
         buckets = group_body((skeys2_all, perm_all, cnt_all, f_all, jt_all))
@@ -252,7 +262,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
             return jax.lax.dynamic_update_slice_in_dim(
                 bks, bucket, g * Wg, axis=2)
         buckets = jax.lax.fori_loop(
-            0, G, fbody, jnp.zeros((3, L, Wp, B), I32))
+            0, G, fbody, jnp.zeros((3, L, Wp, B), bdt))
     else:
         # STATIC python unroll over window groups, NOT lax.scan: a scan
         # whose body contains pallas custom-calls wedges this runtime's
