@@ -45,14 +45,29 @@ from ..ops import rows
 I32 = jnp.int32
 
 
+FORCE_INTERPRET = False
+"""Set True to force interpreter-mode kernels even when the process's
+default backend is the TPU — needed when lowering for explicit CPU
+devices (e.g. the multi-chip dryrun's virtual mesh) in a process where
+the axon plugin already initialized the TPU backend, so
+`jax.default_backend()` cannot flip to "cpu" anymore."""
+
+
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU tests)."""
-    return jax.default_backend() != "tpu"
+    return FORCE_INTERPRET or jax.default_backend() != "tpu"
 
 
 # v5e has 128 MB of VMEM; the default 16 MB scoped limit is far too small
 # for the live set of a 12-mul complete-add body at wide blocks.
-_COMPILER_PARAMS = None if jax.default_backend() != "tpu" else     pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_TPU_COMPILER_PARAMS = None if jax.default_backend() != "tpu" else     pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _COMPILER_PARAMS():
+    # resolved at trace time: interpret-mode calls must not carry Mosaic
+    # compiler params (module-level default_backend() alone is stale in
+    # the FORCE_INTERPRET scenario above)
+    return None if _interpret() else _TPU_COMPILER_PARAMS
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,7 +117,7 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
         out_shape=jax.ShapeDtypeStruct((L, S, V), I32),
         in_specs=[spec], out_specs=spec,
         input_output_aliases={0: 0},
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(x3)
     return out.reshape(L, n)
@@ -216,7 +231,7 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
         in_specs=[in_spec, in_spec, sg_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((3 * L8, f8), I32)],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(sx8, sy8, sign8.astype(jnp.int16))
     return tbuf
@@ -260,7 +275,7 @@ def globalize(tbuf: jnp.ndarray, s8: jnp.ndarray, curve: CurveParams,
         in_specs=[t_spec, s_spec],
         out_specs=t_spec,
         input_output_aliases={0: 0},
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(tbuf, s8)
 
@@ -323,7 +338,7 @@ def padd_batch(p: jnp.ndarray, q: jnp.ndarray, curve: CurveParams,
                                        out_dtype or I32),
         in_specs=[spec, spec], out_specs=spec,
         input_output_aliases={0: 0} if alias_p else {},
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(p3, q3)
     return out.reshape(3 * L, Fp)[:, :F].reshape(3, L, *batch_shape)
@@ -380,7 +395,7 @@ def pdbl_batch(p: jnp.ndarray, curve: CurveParams,
         grid=((Fp // 8) // bv,),
         out_shape=jax.ShapeDtypeStruct((3 * L, 8, Fp // 8), I32),
         in_specs=[spec], out_specs=spec,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(p3)
     return out.reshape(3 * L, Fp)[:, :F].reshape(3, L, *batch_shape)
@@ -447,7 +462,7 @@ def decompose_digits(halfwords: jnp.ndarray, s: int, W: int,
         grid=(V // bv,),
         out_shape=jax.ShapeDtypeStruct((W, S, V), I32),
         in_specs=[in_spec], out_specs=out_spec,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(h3)
     return out.reshape(W, n)
@@ -565,7 +580,7 @@ def col_prefix(coltot: jnp.ndarray, curve: CurveParams) -> jnp.ndarray:
         in_specs=[spec], out_specs=spec,
         scratch_shapes=[pltpu.VMEM((rows8, C), I32),
                         pltpu.VMEM((rows8, C), I32)],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(a)
     return out[:rw].reshape(3, L, Wg, C)
@@ -751,7 +766,7 @@ def pbpr_full(buckets: jnp.ndarray, curve: CurveParams,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((2 * rw8, T), I32),
                         pltpu.VMEM((2 * rw8, T), I32)],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(arr)
     return out[:rw].reshape(3, L, W, T)[..., 0]
@@ -798,7 +813,7 @@ def pbpr_stage1(buckets: jnp.ndarray, curve: CurveParams,
         in_specs=[in_spec],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((2 * rw8, T), I32)],
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS(),
         interpret=_interpret(),
     )(arr)
     return (m[:rw].reshape(3, L, W, T), g[:rw].reshape(3, L, W, T))
