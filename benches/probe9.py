@@ -26,7 +26,7 @@ from tpu_msm.cuzk import kernels  # noqa: E402
 
 C = BN254_S12
 L = C.num_limbs
-CP = kernels._COMPILER_PARAMS
+CP = kernels._COMPILER_PARAMS()
 
 
 def sync(out):

@@ -45,6 +45,17 @@ class MSMHandler(socketserver.BaseRequestHandler):
                 points = list(zip(protocol.words_to_ints(xs_w),
                                   protocol.words_to_ints(ys_w)))
                 scalars = protocol.words_to_ints(sc_w)
+                # ingress validation (FileInputIterator Checked-mode
+                # analogue, preprocess.rs:26-131): reject off-curve /
+                # out-of-field points with a protocol error instead of
+                # computing garbage
+                p, b = curve.p, curve.b_coeff
+                for i, (x, y) in enumerate(points):
+                    if not (0 <= x < p and 0 <= y < p) or \
+                            (y * y - (x * x * x + b)) % p != 0:
+                        raise ValueError(
+                            f"point {i} rejected: not on curve "
+                            f"{curve.name}")
                 pipe = get_pipeline(default_config(len(points), curve))
                 t0 = time.perf_counter()
                 jac = pipe.msm(points, scalars)

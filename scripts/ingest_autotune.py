@@ -34,8 +34,8 @@ WINNERS = [
                        subtask_group=4), 49.58,
      "tpu_session3:headline_2^14"),
     (BN, 1 << 16, dict(window_size=13, columns=2048, pbpr_threads=256,
-                       subtask_group=4), 62.34,
-     "r4:warm fori default"),
+                       subtask_group=4), 60.09,
+     "r5:coldstart_r5.log fresh-process median"),
     (BN, 1 << 18, dict(window_size=16, columns=8192, pbpr_threads=512,
                        subtask_group=1, max_points_per_pass=1 << 22),
      182.22, "tpu_session3:s16_2^18"),

@@ -71,6 +71,47 @@ def test_service_end_to_end():
         srv.shutdown()
 
 
+def test_service_rejects_off_curve_point():
+    """Ingress validation (FileInputIterator Checked-mode analogue,
+    preprocess.rs:26-131): a request containing an off-curve point gets
+    a clean protocol error naming the point, not a garbage result."""
+    srv = service.serve(port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        curve = BN254_S12
+        nw, sw = protocol.curve_words(curve)
+        good = (curve.gen_x, curve.gen_y)
+        bad = (curve.gen_x, (curve.gen_y + 1) % curve.p)   # off-curve
+        xs = protocol.ints_to_words([good[0], bad[0]], nw)
+        ys = protocol.ints_to_words([good[1], bad[1]], nw)
+        sc = protocol.ints_to_words([3, 5], sw)
+        with socket.create_connection(("127.0.0.1", port)) as sock:
+            protocol.send_request(sock, 0, xs, ys, sc)
+            with pytest.raises(RuntimeError, match="point 1 rejected"):
+                protocol.recv_result(sock, curve)
+    finally:
+        srv.shutdown()
+
+
+def test_load_vectors_checked_mode(tmp_path, monkeypatch):
+    """load_or_gen_vectors validates file-loaded points on-curve by
+    default and rejects a corrupted file with a clean error; check=False
+    is the Unchecked escape hatch."""
+    from tpu_msm.utils import preprocess
+    monkeypatch.setattr(preprocess, "VECTOR_DIR", str(tmp_path))
+    c = BN254_S12
+    xs, ys, hw, _ = preprocess.load_or_gen_vectors(c, 32, seed=5, k_base=4)
+    # re-load the valid file through the checked path
+    preprocess.load_or_gen_vectors(c, 32, seed=5, k_base=4)
+    # corrupt one limb of one point's y and re-save
+    ys2 = ys.copy()
+    ys2[0, 7] ^= 1
+    preprocess.save_vectors(preprocess.vector_path(c, 32, 5), xs, ys2, hw)
+    with pytest.raises(ValueError, match="not on curve"):
+        preprocess.load_or_gen_vectors(c, 32, seed=5, k_base=4)
+    preprocess.load_or_gen_vectors(c, 32, seed=5, k_base=4, check=False)
+
+
 def test_vector_file_matches_request(tmp_path):
     """--write-vectors emits verbatim request bytes the native client can
     replay: parse them back through recv_request."""

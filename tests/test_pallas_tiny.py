@@ -104,6 +104,22 @@ def test_bucket_counts_oracle():
             assert got[w, j] == int((keys2[w] < 2 * (j + 1)).sum()), (w, j)
 
 
+def test_bucket_counts_block_path_oracle():
+    """The block-level path (sorted keys provided, n a multiple of the
+    block size) must agree with the flat-rank oracle, including the
+    all-below / all-above / empty-bucket extremes."""
+    W, n, B = 4, 512, 16          # n = 8 blocks of 64
+    keys2 = RNG.integers(0, 2 * B + 1, (W, n)).astype(np.int32)
+    keys2[1] = 0                  # every key below every query
+    keys2[2] = 2 * B + 1          # every key at the top (above q_0..q_B-1)
+    skeys2 = np.sort(keys2, axis=-1)
+    got = np.asarray(_bucket_counts(jnp.asarray(keys2), n, B,
+                                    jnp.asarray(skeys2)))
+    want = np.stack([(keys2 < 2 * (j + 1)).sum(axis=-1)
+                     for j in range(B + 1)], axis=-1)
+    assert (got == want).all(), (got, want)
+
+
 # ---------------------------------------------------------------------------
 # prefix_scan row-unroll equivalence
 # ---------------------------------------------------------------------------

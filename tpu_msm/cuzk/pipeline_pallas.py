@@ -8,10 +8,12 @@ re-formulated as **prefix sums + group subtraction**:
            carry, fused — convert_...metal:16-122).
   Stage 2  ONE batched stable sort of (sign-packed) bucket keys for ALL
            windows (the counting-sort transpose of transpose.metal:8-65),
-           plus ONE double-sort rank computation producing every bucket
-           boundary cnt[w, b] = #(keys < b) — replacing per-group
-           searchsorted (a log2(n)-step while loop on device) with two
-           more flat sorts.
+           plus a BLOCK-LEVEL double-sort rank computation producing
+           every bucket boundary cnt[w, b] = #(keys < b) from the
+           sorted keys' per-64-element block maxima (n/64 + B + 1 sort
+           lanes instead of the r4 full-size n + B + 1 — roofline item
+           2) — replacing per-group searchsorted (a log2(n)-step while
+           loop on device).
   Stage 3  prefix_scan kernel: ONE sequential grid over the sorted point
            stream computing unsegmented running prefix sums T, then the
            col_prefix kernel for the exclusive column-total prefix S.
@@ -69,31 +71,63 @@ def _hs_scan_last(p: jnp.ndarray, curve: CurveParams,
     return p
 
 
-def _bucket_counts(keys2: jnp.ndarray, n: int, B: int) -> jnp.ndarray:
+def _rank_queries(data: jnp.ndarray, B: int) -> jnp.ndarray:
+    """r[w, j] = #(data[w, :] < 2*(j+1)) for j = 0..B via the double-sort
+    rank trick: data keys map to odd slots 2k+1 and the B+1 grid queries
+    to even slots 4(q+1), so a query's sorted position equals (#data
+    below it) + (its own rank). The second sort brings the query
+    payloads back to the front in rank order. On this runtime two flat
+    sorts are ~50x cheaper than searchsorted's log2(n)-iteration while
+    loop (benches/probe12.py, probe13.py)."""
+    Wp, m = data.shape
+    qs2 = (jnp.arange(1, B + 2, dtype=I32) << 2)          # queries, even
+    keys_aug = jnp.concatenate(
+        [data * 2 + 1, jnp.broadcast_to(qs2, (Wp, B + 1))], axis=-1)
+    pay = jnp.concatenate(
+        [jnp.full((Wp, m), m + B + 1, I32),
+         jnp.broadcast_to(jnp.arange(B + 1, dtype=I32), (Wp, B + 1))],
+        axis=-1)
+    _, pay_s = jax.lax.sort((keys_aug, pay), num_keys=1, is_stable=False)
+    pos = jnp.broadcast_to(jnp.arange(m + B + 1, dtype=I32),
+                           (Wp, m + B + 1))
+    _, pos2 = jax.lax.sort((pay_s, pos), num_keys=1, is_stable=False)
+    return pos2[:, :B + 1] - jnp.arange(B + 1, dtype=I32)
+
+
+_CNT_BLOCK = 64
+
+
+def _bucket_counts(keys2: jnp.ndarray, n: int, B: int,
+                   skeys2: jnp.ndarray | None = None) -> jnp.ndarray:
     """cnt[w, j] = #(keys2[w, :] < 2*(j+1)) for j = 0..B — i.e. the end
     of the digit-0 region (j=0) and of every bucket's key region
     (j = bucket value), for all windows at once.
 
-    Two flat sorts instead of searchsorted: data keys map to odd slots
-    2k+1 and the B+1 grid queries to even slots 2q, so a query's sorted
-    position equals (#data below it) + (its own rank). The second sort
-    brings the query payloads back to the front in rank order. On this
-    runtime two extra sorts (~single dispatched ops on (W, n+B+1)) are
-    ~50x cheaper than searchsorted's log2(n)-iteration while loop
-    (benches/probe12.py, probe13.py)."""
+    When the ALREADY-SORTED keys are available (`skeys2`, free from the
+    pipeline's main sort), the ranks are computed at BLOCK level: the
+    per-K-element block maxima M[w, t] = skeys2[w, (t+1)K-1] are a
+    sorted summary, and #(keys < q) = K * b + #(els < q in block b)
+    where b = #(block maxima < q) — sortedness makes block b the unique
+    straddler (every later block's min >= block b's max >= q). The
+    double-sort rank trick then runs on n/K + B + 1 lanes instead of
+    n + B + 1 (16-57x less sort traffic at the headline sizes — the r4
+    roofline's item 2, two of three full-size sorts were redundant),
+    plus one (B+1)-row gather of the straddling blocks and a K-lane
+    compare-reduce. Falls back to flat ranks on tiny/odd sizes."""
+    K = _CNT_BLOCK
+    if skeys2 is None or n % K or n // K < 2:
+        return _rank_queries(keys2, B)
     Wp = keys2.shape[0]
-    qs2 = (jnp.arange(1, B + 2, dtype=I32) << 2)          # queries, even
-    keys_aug = jnp.concatenate(
-        [keys2 * 2 + 1, jnp.broadcast_to(qs2, (Wp, B + 1))], axis=-1)
-    pay = jnp.concatenate(
-        [jnp.full((Wp, n), n + B + 1, I32),
-         jnp.broadcast_to(jnp.arange(B + 1, dtype=I32), (Wp, B + 1))],
-        axis=-1)
-    _, pay_s = jax.lax.sort((keys_aug, pay), num_keys=1, is_stable=False)
-    pos = jnp.broadcast_to(jnp.arange(n + B + 1, dtype=I32),
-                           (Wp, n + B + 1))
-    _, pos2 = jax.lax.sort((pay_s, pos), num_keys=1, is_stable=False)
-    return pos2[:, :B + 1] - jnp.arange(B + 1, dtype=I32)
+    nb = n // K
+    blocks = skeys2.reshape(Wp, nb, K)
+    cnt_b = _rank_queries(blocks[:, :, K - 1], B)            # (Wp, B+1)
+    b = jnp.minimum(cnt_b, nb - 1)
+    flat_idx = (jnp.arange(Wp, dtype=I32)[:, None] * nb + b).reshape(-1)
+    rows = jnp.take(blocks.reshape(Wp * nb, K), flat_idx, axis=0)
+    rows = rows.reshape(Wp, B + 1, K)                        # straddlers
+    q = (jnp.arange(1, B + 2, dtype=I32) * 2)[None, :, None]
+    partial = jnp.sum((rows < q).astype(I32), axis=-1)
+    return b * K + partial
 
 
 def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
@@ -172,7 +206,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         (keys2_all, iota_all), dimension=-1, num_keys=1, is_stable=False)
 
     # ---- stage 2b: every bucket boundary for every window, hoisted ----
-    cnt_all = _bucket_counts(keys2_all, n, B)                # (Wp, B+1)
+    cnt_all = _bucket_counts(keys2_all, n, B, skeys2_all)    # (Wp, B+1)
     p_all = jnp.maximum(cnt_all - 1, 0)
     c_all = p_all // R
     f_all = (jnp.arange(Wp, dtype=I32) % Wg)[:, None] * C + c_all

@@ -112,14 +112,56 @@ def save_vectors(path: str, xs, ys, hw) -> None:
     np.savez_compressed(path, xs=xs, ys=ys, hw=hw)
 
 
+def validate_planar_points(xs: np.ndarray, ys: np.ndarray,
+                           curve: CurveParams) -> None:
+    """On-curve + in-field check of planar (L, n) coordinate arrays —
+    the FileInputIterator Checked-mode analogue (the reference's checked
+    deserialization rejects off-curve points, preprocess.rs:26-131).
+
+    Cost scales with the number of DISTINCT points, not n: columns are
+    deduplicated (chunked, memory-bounded) before the bigint checks —
+    the tiled bench vectors have k_base distinct points, so checking a
+    2^24 file costs 64 bigint checks. Raises ValueError naming the
+    first offending point index."""
+    w = curve.log_limb_size
+    n = xs.shape[1]
+    both = np.concatenate([xs, ys], axis=0).astype(np.int32, copy=False)
+    p, b = curve.p, curve.b_coeff
+    seen: set = set()
+    CH = 1 << 20
+    for lo in range(0, n, CH):
+        cols = np.ascontiguousarray(both[:, lo:lo + CH].T)   # (ch, 2L)
+        rec = cols.view(np.dtype((np.void, cols.shape[1] * 4))).ravel()
+        _, uidx = np.unique(rec, return_index=True)
+        for j in sorted(int(u) for u in uidx):
+            key = rec[j].tobytes()
+            if key in seen:
+                continue
+            seen.add(key)
+            i = lo + j
+            x = sum(int(v) << (w * k) for k, v in enumerate(xs[:, i]))
+            y = sum(int(v) << (w * k) for k, v in enumerate(ys[:, i]))
+            if not (0 <= x < p and 0 <= y < p):
+                raise ValueError(
+                    f"point {i}: coordinate out of field range (x={x:#x})")
+            if (y * y - (x * x * x + b)) % p != 0:
+                raise ValueError(f"point {i}: not on curve {curve.name} "
+                                 f"(y^2 != x^3 + b mod p)")
+
+
 def load_or_gen_vectors(curve: CurveParams, n: int, seed: int = 0,
-                        k_base: int = 64):
+                        k_base: int = 64, check: bool = True):
     """File-backed vectors (FileInputIterator analogue): generate once,
-    reuse across runs for reproducible benches and cross-host checks."""
+    reuse across runs for reproducible benches and cross-host checks.
+    File loads are validated on-curve by default (`check=False` is the
+    Unchecked mode for trusted re-reads); freshly generated vectors are
+    trusted by construction."""
     path = vector_path(curve, n, seed)
     base = gen_base_points(curve, min(k_base, n), seed)
     if os.path.exists(path):
         d = np.load(path)
+        if check:
+            validate_planar_points(d["xs"], d["ys"], curve)
         return d["xs"], d["ys"], d["hw"], base
     xs, ys, hw, base = gen_planar_inputs(curve, n, seed, k_base)
     save_vectors(path, xs, ys, hw)

@@ -131,17 +131,21 @@ def cached_config(n: int, curve: CurveParams = BN254_S12):
 
 
 def record_measured(n: int, curve: CurveParams, cfg, ms: float,
-                    source: str, device_kind: str | None = None) -> None:
+                    source: str, device_kind: str | None = None,
+                    force: bool = False) -> None:
     """Persist an externally measured winner into the autotune cache.
 
     The full `autotune()` sweep costs minutes of device compile per
     candidate; the headline sweeps (benches/tpu_session*.jsonl) already
     measured every candidate on the real chip. This ingests those
     on-device measurements so `default_config` serves every shipped size
-    from the cache instead of extrapolating (VERDICT r3 weak-#5). Only
-    overwrites an existing entry when the new measurement is faster or
-    the entry's config fields differ. `source` records provenance (e.g.
-    the jsonl label)."""
+    from the cache instead of extrapolating (VERDICT r3 weak-#5).
+    Best-measured semantics: an existing entry is only replaced when the
+    new measurement BEATS its stored ms (whatever the config fields), so
+    re-running an ingest script with stale hardcoded numbers can never
+    regress a faster autotuned winner (ADVICE r4). `force=True`
+    overrides (e.g. after a code change invalidates old measurements).
+    `source` records provenance (e.g. the jsonl label)."""
     import jax
     kind = (device_kind or
             jax.devices()[0].device_kind).replace(" ", "_")
@@ -149,8 +153,7 @@ def record_measured(n: int, curve: CurveParams, cfg, ms: float,
     cache = _load_cache()
     fields = {k: getattr(cfg, k) for k in _TUNED_FIELDS}
     old = cache.get(key)
-    if old and all(old.get(k) == v for k, v in fields.items()) \
-            and old.get("ms", float("inf")) <= ms:
+    if old and not force and old.get("ms", float("inf")) <= ms:
         return
     cache[key] = fields | {"ms": round(ms, 2), "source": source}
     _save_cache(cache)
