@@ -34,12 +34,23 @@ import numpy as np  # noqa: E402
 I32 = jnp.int32
 
 
+def _drain(out):
+    """True completion barrier. On the axon runtime block_until_ready
+    can return before queued device work drains (r5: the scan kernel
+    'measured' 0.075 ms against a >=7 ms device-trace floor); a scalar
+    readback of every output leaf is the only reliable fence."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[-1:]))
+    return out
+
+
 def timeit(fn, args, runs):
-    out = jax.block_until_ready(fn(*args))
+    out = _drain(fn(*args))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = _drain(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     return statistics.median(times), out
 

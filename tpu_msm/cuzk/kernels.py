@@ -129,13 +129,14 @@ def encode_mont(xs: jnp.ndarray, curve: CurveParams,
 
 
 def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
-                 curve: CurveParams, L: int, K: int, f8: int):
+                 curve: CurveParams, L: int, K: int, f8: int,
+                 packed: bool = False):
     r = pl.program_id(0)
     S = 8
 
     @pl.when(r == 0)
     def _():
-        zero = sx_ref[0:S, 0:f8].astype(jnp.int32) * 0
+        zero = sg_ref[0:S, 0:f8].astype(jnp.int32) * 0
         one = int_to_limbs(curve.r_mod_p, L, curve.log_limb_size)
         for i in range(L):
             carry_ref[i * S:(i + 1) * S, :] = zero
@@ -153,13 +154,27 @@ def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
         [carry_ref[(2 * L + i) * S:(2 * L + i + 1) * S, :] for i in range(L)])
     for j in range(K):
         sl = slice(j * f8, (j + 1) * f8)
-        # stream coords arrive int16 (canonical limbs < 2^w <= 2^13
-        # fit exactly) — HALF the HBM traffic of the pipeline's
-        # biggest input; widen to i32 lanes for the limb math
-        x = [sx_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
-             for i in range(L)]
-        y = [sy_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
-             for i in range(L)]
+        if packed:
+            # stream coords arrive as int32 WORDS packing limb pairs
+            # (limb 2w in the low 16 bits, 2w+1 high — the row-gather
+            # upstream costs ~35 ns/row latency-bound, so halving the
+            # gathered element count halves its cost; same bytes as the
+            # int16 form). Canonical limbs < 2^w <= 2^13 are
+            # non-negative, so the mask/shift unpack is exact.
+            def unpack(ref, i):
+                w = ref[(i // 2) * S:(i // 2 + 1) * S, sl]
+                v = (w >> 16) if (i & 1) else w
+                return v & jnp.int32(0xFFFF)
+            x = [unpack(sx_ref, i) for i in range(L)]
+            y = [unpack(sy_ref, i) for i in range(L)]
+        else:
+            # stream coords arrive int16 (canonical limbs < 2^w <= 2^13
+            # fit exactly) — HALF the HBM traffic of the pipeline's
+            # biggest input; widen to i32 lanes for the limb math
+            x = [sx_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
+                 for i in range(L)]
+            y = [sy_ref[i * S:(i + 1) * S, sl].astype(jnp.int32)
+                 for i in range(L)]
         sign = sg_ref[:, sl]                      # (8, f8) int32 0/1
         yneg = rows.neg_rows(y, curve, 2)         # digit < 0 -> add -P
         y = rows.select_rows(sign != 0, yneg, y)
@@ -182,7 +197,8 @@ def _scan_kernel(sx_ref, sy_ref, sg_ref, o_ref, carry_ref, *,
 
 
 def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
-                curve: CurveParams, f8: int, unroll: int = 4) -> jnp.ndarray:
+                curve: CurveParams, f8: int, unroll: int = 4,
+                packed: bool = False) -> jnp.ndarray:
     """Running prefix sums of the sorted, sign-folded point stream.
 
     Full-sublane layout: per grid step the kernel consumes (8, F8)
@@ -191,14 +207,18 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     stream of F = Wg*C lanes out as (8, F8 = F/8) and stacks steps on
     the last axis:
 
-    sx8, sy8: (L*8, R*F8) int32 Montgomery coords; block r covers
-        stream positions [r*F, (r+1)*F) of the window group.
+    sx8, sy8: (L*8, R*F8) Montgomery coords — or, with packed=True,
+        ((L/2)*8, R*F8) int32 words each packing a limb PAIR (low limb
+        in the low 16 bits); block r covers stream positions
+        [r*F, (r+1)*F) of the window group.
     sign8: (8, R*F8) negative-digit flags, same layout.
     unroll: stream rows folded per grid step (clipped to a power-of-two
         divisor of R and to ~64 MB of VMEM blocks).
     Returns tbuf (3*L*8, R*F8): inclusive per-lane prefix points.
     """
     L8, n8 = sx8.shape
+    if packed:
+        L8 *= 2
     L = L8 // 8
     R = n8 // f8
     K = max(1, min(unroll, R))
@@ -213,7 +233,8 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     while K > 1 and (K * f8) % 128 and K * f8 != n8:
         K //= 2
     kf8 = K * f8
-    in_spec = pl.BlockSpec((L8, kf8), lambda r: (0, r),
+    in_rows = L8 // 2 if packed else L8
+    in_spec = pl.BlockSpec((in_rows, kf8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
     sg_spec = pl.BlockSpec((8, kf8), lambda r: (0, r),
                            memory_space=pltpu.VMEM)
@@ -225,7 +246,7 @@ def prefix_scan(sx8: jnp.ndarray, sy8: jnp.ndarray, sign8: jnp.ndarray,
     # correct.
     odt = jnp.int16 if curve.log_limb_size <= 13 else I32
     tbuf = pl.pallas_call(
-        _kfn(_scan_kernel, curve=curve, L=L, K=K, f8=f8),
+        _kfn(_scan_kernel, curve=curve, L=L, K=K, f8=f8, packed=packed),
         grid=(R // K,),
         out_shape=jax.ShapeDtypeStruct((3 * L8, n8), odt),
         in_specs=[in_spec, in_spec, sg_spec],

@@ -224,27 +224,40 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         rows = jnp.take(pm, idx.reshape(-1), axis=0)         # (K, 3L)
         return rows.T.reshape((3, L) + idx.shape)
 
-    # points-major row table for the BIG stream gather: one (n, 2L) row
-    # per point (x limbs || y limbs). `xm[:, perm8]` element-gathers
+    # points-major row table for the BIG stream gather: one row per
+    # point (x limbs || y limbs). `xm[:, perm8]` element-gathers
     # L*8*n8 independent lookups per coordinate per group (the same
     # ~48-100 ns/element scalar-loop lowering flat_gather documents);
-    # fetching whole 2L-limb point ROWS by sorted position and
-    # transposing back to the kernel layout moves the identical bytes
-    # as one vectorizable take + transpose. Stored int16: encode_mont /
-    # apply_glv emit CANONICAL limbs (< 2^w <= 2^13), so 16 bits hold
-    # them exactly and the gather+transpose+kernel-input traffic — the
-    # pipeline's biggest byte stream — halves; the scan kernel widens
-    # on read.
-    pts_rows = jnp.concatenate([xm, ym], axis=0).astype(jnp.int16).T
+    # fetching whole point ROWS by sorted position and transposing back
+    # to the kernel layout moves the identical bytes as one
+    # vectorizable take + transpose. The row gather is PER-ROW latency
+    # bound (~35 ns/row, fusion.34 = 558 ms of the 834 ms @2^20 —
+    # benches/probe15.py), so rows are packed as int32 words holding a
+    # limb PAIR each (canonical limbs < 2^w <= 2^13 fit 16 bits
+    # exactly): half the gathered elements per point, same bytes; the
+    # scan kernel unpacks with VPU shifts (kernels.prefix_scan
+    # packed=True). Only a win when the row table outgrows on-chip
+    # caching and the gather goes latency-bound: measured 2^20
+    # 834.7 -> 753.7 ms, but 2^16 60.1 -> 67.5 ms (small table, gather
+    # already fast, the per-limb unpack only taxes the compute-bound
+    # scan) — so gated on stream size. Odd-L curves use the int16 rows.
+    packed = (L % 2 == 0) and n >= (1 << 18)
+    rows16 = jnp.concatenate([xm, ym], axis=0).astype(jnp.int16).T
+    if packed:
+        pts_rows = jax.lax.bitcast_convert_type(
+            rows16.reshape(rows16.shape[0], L, 2), jnp.int32)  # (n, L)
+    else:
+        pts_rows = rows16                                      # (n, 2L)
 
     def group_body(slices):
         skeys2, perm, cnt_g, f_g, jt_g = slices              # (Wg, ...) each
         perm8 = to_kernel8(perm)
         sign8 = to_kernel8(skeys2) & 1
-        srows = jnp.take(pts_rows, perm8.reshape(-1), axis=0)  # (8*n8, 2L)
-        sxy = srows.reshape(8, n8, 2 * L).transpose(2, 0, 1)   # (2L, 8, n8)
-        sx8 = sxy[:L].reshape(L * 8, n8)
-        sy8 = sxy[L:].reshape(L * 8, n8)
+        srows = jnp.take(pts_rows, perm8.reshape(-1), axis=0)
+        nw = pts_rows.shape[1]                               # L or 2L words
+        sxy = srows.reshape(8, n8, nw).transpose(2, 0, 1)    # (nw, 8, n8)
+        sx8 = sxy[:nw // 2].reshape(nw // 2 * 8, n8)
+        sy8 = sxy[nw // 2:].reshape(nw // 2 * 8, n8)
 
         # ---- stage 3: prefix scan + no-fill bucket extraction ----
         # tbuf and S come back int16 (limb bound (-2^w, 2^(w+1)), see
@@ -252,7 +265,8 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # and the bucket stream below are the pipeline's biggest
         # custom-call byte streams, and on this runtime wall overhead
         # scales with custom-call boundary bytes (r3/r4 traces).
-        tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8)  # (3L8, n8)
+        tbuf = kernels.prefix_scan(sx8, sy8, sign8, curve, F8,
+                                   packed=packed)            # (3L8, n8)
         tflat = tbuf.reshape(3, L, 8 * n8)
         coltot = tbuf[:, (R - 1) * F8:].reshape(3, L, Wg, C)
         S = kernels.col_prefix(coltot, curve)                # exclusive
