@@ -113,8 +113,17 @@ def main() -> None:
                                                     seed=99, k_base=64)
     hw[:, n:] = 0  # padding lanes: zero scalars
     hw_dev = np.concatenate([hw, np.zeros((2, hw.shape[1]), np.uint32)], axis=0)
-    xs = xs.astype(np.int32)
-    ys = ys.astype(np.int32)
+    # int16/uint16 WIRE format: canonical limbs < 2^w <= 2^13 and
+    # halfwords < 2^16, so h2d moves half the bytes (the tunnel's
+    # ~100 MB/s made int32 h2d the wall-clock whale at 2^22+: 255 s at
+    # 2^24 in r4); the device pipeline widens on-chip.
+    if curve.log_limb_size <= 13:
+        xs = xs.astype(np.int16)
+        ys = ys.astype(np.int16)
+    else:
+        xs = xs.astype(np.int32)
+        ys = ys.astype(np.int32)
+    hw_dev = hw_dev.astype(np.uint16)
     print(f"[bench] vectors ready in {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

@@ -142,20 +142,33 @@ def main():
     skeys2 = skeys2_all[:Wg]
     perm = perm_all[:Wg]
 
-    # stage 3a: permutation row-gather of the point stream (one group)
+    # stage 3a: permutation row-gather of the point stream (one group) —
+    # same packed-int32 row form as the pipeline at n >= 2^18
+    # (pipeline_pallas.py group_body)
+    packed = (L % 2 == 0) and n >= (1 << 18)
+
     def gather_stream(pm, xm_, ym_):
+        rows16 = jnp.concatenate([xm_, ym_], axis=0).astype(jnp.int16).T
+        if packed:
+            pts = jax.lax.bitcast_convert_type(
+                rows16.reshape(rows16.shape[0], L, 2), jnp.int32)
+        else:
+            pts = rows16
         perm8 = to_kernel8(pm)
-        sx8 = xm_[:, perm8].reshape(L * 8, n8)
-        sy8 = ym_[:, perm8].reshape(L * 8, n8)
-        return sx8, sy8
+        srows = jnp.take(pts, perm8.reshape(-1), axis=0)
+        nw = pts.shape[1]
+        sxy = srows.reshape(8, n8, nw).transpose(2, 0, 1)
+        return (sxy[:nw // 2].reshape(nw // 2 * 8, n8),
+                sxy[nw // 2:].reshape(nw // 2 * 8, n8))
     ms, (sx8, sy8) = timeit(jax.jit(gather_stream), (perm, xm, ym),
                             args.runs)
-    emit("gather_stream_group", ms, f"x{G} groups = {ms*G:.1f}")
+    emit("gather_stream_group", ms, f"x{G} groups = {ms*G:.1f}"
+         + (" (packed i32)" if packed else ""))
 
     # stage 3b: prefix-scan kernel (one group)
     sign8 = to_kernel8(skeys2.astype(I32)) & 1
     scan = jax.jit(functools.partial(kernels.prefix_scan, curve=curve,
-                                     f8=F8))
+                                     f8=F8, packed=packed))
     ms, tbuf = timeit(scan, (sx8, sy8, sign8), args.runs)
     emit("prefix_scan_group", ms, f"x{G} groups = {ms*G:.1f}")
 

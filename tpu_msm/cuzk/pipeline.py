@@ -57,6 +57,15 @@ def _windows_device(xs: jnp.ndarray, ys: jnp.ndarray, halfwords: jnp.ndarray,
     L = curve.num_limbs
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
 
+    # Narrow WIRE dtypes widen on device (one fused convert): canonical
+    # limbs < 2^w fit int16 for the 12/13-bit profiles and halfwords
+    # are < 2^16 always, so callers can stage h2d at half the bytes —
+    # through a tunneled runtime h2d dominates wall clock at 2^22+
+    # (255 s @2^24 in int32, r4).
+    xs = xs.astype(I32)
+    ys = ys.astype(I32)
+    halfwords = halfwords.astype(jnp.uint32)
+
     xm, ym = decompose.points_to_mont(xs, ys, curve, unroll=cfg.unroll_resolved)
     if cfg.glv:
         from . import glv as glv_dev

@@ -136,6 +136,11 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
                            w_index=None) -> ProjPoint:
     curve = cfg.curve
     L = curve.num_limbs
+    # narrow wire dtypes widen on device (see cuzk/pipeline.py): lets
+    # callers stage xs/ys int16 + halfwords uint16 at half the h2d bytes
+    xs = xs.astype(I32)
+    ys = ys.astype(I32)
+    halfwords = halfwords.astype(jnp.uint32)
     n = (2 if cfg.glv else 1) * xs.shape[-1]   # stream lanes (2x under glv)
     W, Wg, G = cfg.num_windows, cfg.subtask_group, cfg.num_groups
     C = min(cfg.columns, n)
