@@ -31,26 +31,26 @@ WINNERS = [
                        subtask_group=8), 31.75,
      "tpu_session3:headline_2^12"),
     (BN, 1 << 14, dict(window_size=13, columns=2048, pbpr_threads=256,
-                       subtask_group=4), 49.58,
-     "tpu_session3:headline_2^14"),
+                       subtask_group=4), 47.08,
+     "tpu_session5:wire_2^14"),
     (BN, 1 << 16, dict(window_size=13, columns=2048, pbpr_threads=256,
-                       subtask_group=4), 60.09,
-     "r5:coldstart_r5.log fresh-process median"),
+                       subtask_group=4), 58.51,
+     "tpu_session5:gate_2^16"),
     (BN, 1 << 18, dict(window_size=16, columns=8192, pbpr_threads=512,
                        subtask_group=1, max_points_per_pass=1 << 22),
-     182.22, "tpu_session3:s16_2^18"),
+     159.2, "tpu_session5:wire_2^18"),
     (BN, 1 << 20, dict(window_size=16, columns=8192, pbpr_threads=512,
                        subtask_group=1, max_points_per_pass=1 << 23),
-     950.16, "tpu_session3:i16_2^20"),
+     753.87, "tpu_session5:wire_2^20"),
     (BN, 1 << 22, dict(window_size=16, columns=8192, pbpr_threads=512,
                        subtask_group=1, max_points_per_pass=1 << 22),
-     3835.65, "tpu_session3:i16_2^22"),
+     2931.09, "tpu_session5:wire_2^22"),
     (BN, 1 << 24, dict(window_size=16, columns=8192, pbpr_threads=512,
                        subtask_group=1, max_points_per_pass=1 << 22),
-     15390.56, "tpu_session3:i16_2^24"),
+     11680.5, "tpu_session5:wire_2^24"),
     (BLS, 1 << 16, dict(window_size=13, columns=2048, pbpr_threads=256,
-                        subtask_group=4), 96.48,
-     "tpu_session3:bls_2^16"),
+                        subtask_group=4), 86.47,
+     "tpu_session5:wire_bls_2^16"),
 ]
 
 
