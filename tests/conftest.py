@@ -93,7 +93,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent compilation cache: the unrolled limb-arithmetic graphs are
 # large and XLA compiles slowly on them; caching makes test re-runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.environ.get("TPU_MSM_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
@@ -105,7 +107,9 @@ if os.environ.get("TPU_MSM_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 # pytest plugins import jax BEFORE this conftest runs, so the env vars
 # above are too late for jax's import-time config reads — set explicitly.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TPU_MSM_CACHE_DIR",
+                                 "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # The "executable.serialize() segfault" that previously forced CPU cache

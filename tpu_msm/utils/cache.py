@@ -18,7 +18,7 @@ DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
 
 def enable_compile_cache(path: str | None = None) -> None:
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.abspath(path or DEFAULT_DIR))
+    path = path or os.environ.get("TPU_MSM_CACHE_DIR") or DEFAULT_DIR
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
