@@ -206,9 +206,17 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     # path entirely (all profiled).
     d32 = digits.astype(I32)                                 # (Wp, n)
     keys2_all = (jnp.abs(d32) << 1) | (d32 < 0).astype(I32)
-    iota_all = jnp.broadcast_to(jnp.arange(n, dtype=I32), (Wp, n))
-    skeys2_all, perm_all = jax.lax.sort(
-        (keys2_all, iota_all), dimension=-1, num_keys=1, is_stable=False)
+    # payload = (original index << 1) | sign: the sign bit rides the
+    # permutation, so the group loop needs ONE kernel-layout transpose
+    # (of the payload) instead of two (perm + skeys-for-sign) and never
+    # slices the sorted keys per group — saves a (Wg, n) transpose +
+    # dynamic-slice pair per window group (was ~15 ms of the 42 ms
+    # to_kernel8 formatting at 2^20). perm < max_points_per_pass
+    # <= 2^23, so (perm << 1 | sign) fits int32.
+    iota2_all = (jnp.broadcast_to(
+        jnp.arange(n, dtype=I32), (Wp, n)) << 1) | (keys2_all & 1)
+    skeys2_all, pay_all = jax.lax.sort(
+        (keys2_all, iota2_all), dimension=-1, num_keys=1, is_stable=False)
 
     # ---- stage 2b: every bucket boundary for every window, hoisted ----
     cnt_all = _bucket_counts(keys2_all, n, B, skeys2_all)    # (Wp, B+1)
@@ -255,9 +263,10 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         pts_rows = rows16                                      # (n, 2L)
 
     def group_body(slices):
-        skeys2, perm, cnt_g, f_g, jt_g = slices              # (Wg, ...) each
-        perm8 = to_kernel8(perm)
-        sign8 = to_kernel8(skeys2) & 1
+        pay, cnt_g, f_g, jt_g = slices                       # (Wg, ...) each
+        p8 = to_kernel8(pay)
+        perm8 = p8 >> 1
+        sign8 = p8 & 1
         srows = jnp.take(pts_rows, perm8.reshape(-1), axis=0)
         nw = pts_rows.shape[1]                               # L or 2L words
         sxy = srows.reshape(8, n8, nw).transpose(2, 0, 1)    # (nw, 8, n8)
@@ -298,7 +307,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
     bdt = jnp.int16 if curve.log_limb_size <= 13 else I32
 
     if G == 1:
-        buckets = group_body((skeys2_all, perm_all, cnt_all, f_all, jt_all))
+        buckets = group_body((pay_all, cnt_all, f_all, jt_all))
         buckets = buckets.reshape(3, L, Wp, B)
     elif cfg.group_loop == "fori":
         # lax.fori_loop: ONE traced/lowered body regardless of G (the
@@ -310,8 +319,8 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         def fbody(g, bks):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(
                 a, g * Wg, Wg, axis=0)
-            bucket = group_body((sl(skeys2_all), sl(perm_all),
-                                 sl(cnt_all), sl(f_all), sl(jt_all)))
+            bucket = group_body((sl(pay_all), sl(cnt_all),
+                                 sl(f_all), sl(jt_all)))
             return jax.lax.dynamic_update_slice_in_dim(
                 bks, bucket, g * Wg, axis=2)
         buckets = jax.lax.fori_loop(
@@ -326,8 +335,7 @@ def _windows_device_pallas(xs: jnp.ndarray, ys: jnp.ndarray,
         # per group and the Mosaic kernels compile once per shape, so
         # compile cost stays modest; XLA serializes the group
         # subgraphs, keeping the peak-memory profile of the scan.
-        parts = [group_body((skeys2_all[g * Wg:(g + 1) * Wg],
-                             perm_all[g * Wg:(g + 1) * Wg],
+        parts = [group_body((pay_all[g * Wg:(g + 1) * Wg],
                              cnt_all[g * Wg:(g + 1) * Wg],
                              f_all[g * Wg:(g + 1) * Wg],
                              jt_all[g * Wg:(g + 1) * Wg]))
